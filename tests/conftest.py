@@ -1,0 +1,31 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are tested on host CPU devices
+(``--xla_force_host_platform_device_count``), per the reference test strategy
+gap analysis (SURVEY.md section 4): the reference has no automated tests at
+all; this suite is the framework's correctness contract.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "Lecture19_Fwi"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

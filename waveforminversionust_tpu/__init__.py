@@ -1,0 +1,17 @@
+"""TPU-native full-waveform inversion for ring-array ultrasound tomography.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+frequency-domain FWI pipeline (Alighieri1231/WaveformInversionUST): on-device
+matrix-free Helmholtz solvers, exact adjoints via custom VJP, jitted nonlinear
+conjugate-gradient and L-BFGS inversion loops, multi-frequency continuation,
+and mesh-sharded source/frequency parallelism.
+"""
+
+from .config import (AcquisitionConfig, ContinuationConfig, FWIConfig,
+                     MomentumFormula, PMLConfig, SolverConfig, SolverMethod,
+                     StencilConfig, StepSizeFormula)
+from .models.grid import Grid2D
+from .models.acquisition import RingAcquisition, build_ring_acquisition
+from .ops.solve import solve_helmholtz
+
+__version__ = "0.1.0"

@@ -1,0 +1,156 @@
+"""Configuration objects for the TPU-native UST full-waveform-inversion framework.
+
+The reference codebase scatters its configuration as hardcoded constants at the
+top of each script (reference: fwi_script.py:31-91, FrequencyDomainFWI.m:14-59).
+Here the entire configuration surface is collected into small frozen dataclasses
+that are hashable, so they can be passed through ``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class MomentumFormula(enum.IntEnum):
+    """Conjugate-gradient momentum formulas.
+
+    Mirrors the 5-way ``momentumFormula`` switch of the reference MATLAB driver
+    (reference: FrequencyDomainFWI.m:36-41,119-146). The JAX port of the
+    reference hardcodes Hestenes-Stiefel; we expose all five.
+    """
+
+    GRADIENT_DESCENT = 0
+    FLETCHER_REEVES = 1
+    POLAK_RIBIERE = 2
+    PR_FR_CLAMPED = 3
+    HESTENES_STIEFEL = 4
+
+
+class StepSizeFormula(enum.IntEnum):
+    """Linearized line-search step-size formulas.
+
+    Mirrors ``stepSizeCalculation`` (reference: FrequencyDomainFWI.m:42-45,
+    149-172).
+    """
+
+    RESIDUAL = 1  # Re<dREC, d - u>/<dREC, dREC>  (not involving gradient)
+    GRADIENT = 2  # <g, g>/<dREC, dREC>
+    GRADIENT_SD = 3  # -<g, sd>/<dREC, dREC>
+
+
+class SolverMethod(enum.Enum):
+    """Which on-device Helmholtz solver to use.
+
+    The reference escapes to host SuperLU via ``jax.pure_callback``
+    (reference: solve_helmholtz.py:85-93); all methods here run entirely on
+    the TPU.
+    """
+
+    BANDED = "banded"  # block-Thomas direct solve of the exact 9-pt FD system
+    GMRES = "gmres"  # preconditioned restarted GMRES on the exact 9-pt FD system
+    BORN = "born"  # convergent Born series (spectral, FFT-based)
+
+
+@dataclasses.dataclass(frozen=True)
+class PMLConfig:
+    """Perfectly-matched-layer parameters.
+
+    Defaults match the reference (a0=10, L_PML=9 mm, sign convention -1 for
+    exp(-ikr) fields; reference: fwi_script.py:33-34, solve_helmholtz.py:23).
+    """
+
+    a0: float = 10.0
+    l_pml: float = 9.0e-3
+    sign_convention: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilConfig:
+    """Dispersion-minimizing 9-point stencil fit parameters.
+
+    Chen/Cheng/Feng/Wu 2013 optimal parameters; the least-squares fit
+    resolutions and the fixed b=5/6 choice match the reference
+    (reference: solve_helmholtz.py:122-141, solveHelmholtz.m:152-171).
+    """
+
+    angular_resolution: int = 100
+    range_resolution: int = 10
+    fix_b: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Helmholtz solver configuration.
+
+    ``tol`` is the relative-residual target for the Krylov solver; ``maxiter``
+    bounds its iteration count. ``shift_beta`` is the complex shift of the
+    shifted-Laplacian FFT preconditioner (standard choice ~0.5).
+    ``born_iter_cap`` bounds the Born-series fixed-point iteration count
+    (the physics-derived count is used when smaller; reference:
+    solveHelmholtzBornSeries.m:45-49).
+
+    ``born_pml``: the Born solver uses its own absorbing-layer parameters.
+    The reference reuses the FD-PML's (a0=10, L=9mm), which leaves ~14%
+    boundary-reflection error in the Born solution; a0=20 / L=12mm reaches
+    ~2e-4 against the analytic free-space Green's function at the same
+    iteration budget (measured; see tests/test_solvers.py).
+    """
+
+    method: SolverMethod = SolverMethod.BANDED
+    tol: float = 1e-5
+    maxiter: int = 1000
+    shift_beta: float = 0.5
+    refine: int = 1  # iterative-refinement passes after a banded solve
+    born_iter_cap: int = 1000
+    born_iter_scale: float = 1.0
+    born_pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12.0e-3)
+    pml: PMLConfig = PMLConfig()
+    stencil: StencilConfig = StencilConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class AcquisitionConfig:
+    """Ring-array acquisition geometry.
+
+    Defaults reproduce the reference acquisition: 256 elements on a 110 mm
+    ring, +/-31 elements (plus self) excluded around each transmitter
+    (reference: SimulateData.m:15-20, fwi_script.py:39).
+    """
+
+    num_elements: int = 256
+    radius: float = 110.0e-3
+    num_excluded_each_side: int = 31
+    tx_downsample: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FWIConfig:
+    """Outer-loop inversion configuration.
+
+    Defaults match the reference benchmark workload (c_init=1480 m/s,
+    10 iterations, HS momentum, step formula 1; reference:
+    fwi_script.py:90-91, FrequencyDomainFWI.m:35-46).
+    """
+
+    c_init: float = 1480.0
+    num_iterations: int = 10
+    momentum: MomentumFormula = MomentumFormula.HESTENES_STIEFEL
+    step_size: StepSizeFormula = StepSizeFormula.RESIDUAL
+    eps_stabilizer: float = 0.0  # added to beta/step denominators (0 = reference behavior)
+    estimate_source_strength: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuationConfig:
+    """Multi-frequency continuation schedule (low to high, warm-started).
+
+    The reference lists this as future work (single 350 kHz inversion only);
+    its only multi-frequency machinery is a serial loop in
+    TimeDomainSimulation.m:41-46.
+    """
+
+    frequencies: Tuple[float, ...] = ()
+    iterations_per_frequency: int = 10
+    simultaneous: int = 1  # how many frequencies to batch/shard per stage
