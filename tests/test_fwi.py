@@ -1,0 +1,123 @@
+"""End-to-end FWI tests: synthesize data on a fine grid (no inverse crime),
+invert on a coarser grid, check that the misfit drops and the reconstruction
+moves toward the truth — the quantitative version of the reference's visual
+validation (SURVEY.md section 4)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveforminversionust_tpu import (AcquisitionConfig, FWIConfig, Grid2D,
+                                      MomentumFormula, PMLConfig, SolverConfig,
+                                      SolverMethod, StepSizeFormula,
+                                      build_ring_acquisition)
+from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+from waveforminversionust_tpu.fwi.lbfgs import run_lbfgs
+from waveforminversionust_tpu.fwi.objective import build_fwi_data
+from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+F = 200e3
+C0 = 1500.0
+
+ACQ = AcquisitionConfig(num_elements=64, radius=18e-3,
+                        num_excluded_each_side=7)
+# The ring must sit OUTSIDE the absorbing layer: domain half-width 24 mm,
+# ring 18 mm => PML thickness must be < 6 mm.
+SOLVER = SolverConfig(pml=PMLConfig(l_pml=4e-3),
+                      born_pml=PMLConfig(a0=20.0, l_pml=4e-3))
+
+
+def _make_problem():
+    """Small ring problem: 64 elements on an 18 mm ring, blob phantom.
+    Synthesis grid 0.4 mm (121x121); inversion grid 0.8 mm (61x61) — no
+    inverse crime. Element positions are snapped to the inversion grid first
+    so both grids place them identically (see synthesize_ring_dataset)."""
+    from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                             snap_to_grid)
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+    xi, yi = snap_to_grid(coarse, xe, ye)
+    xs, ys = coarse.x[xi], coarse.y[yi]
+
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    true_vel = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+    ds = synthesize_ring_dataset(true_vel, fine, ACQ, f=F, seed=3,
+                                 solver=SOLVER, x_elem=xs, y_elem=ys)
+
+    acq = build_ring_acquisition(coarse, ACQ, x_elem=ds.x_circ, y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, F)
+    true_on_coarse = smooth_blob_phantom(coarse, radius=8e-3, dc=30, c_bkgnd=C0)
+    return coarse, data, true_on_coarse
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return _make_problem()
+
+
+def _recon_error(vel, true_vel, grid, radius=13e-3):
+    X, Y = grid.meshgrid()
+    inside = np.hypot(X, Y) < radius
+    return np.sqrt(np.mean((np.array(vel) - true_vel)[inside] ** 2))
+
+
+class TestNonlinearCG:
+    def test_misfit_decreases_and_recon_improves(self, problem):
+        grid, data, true_vel = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        res = nonlinear_cg(vel0, data, grid, SOLVER,
+                           FWIConfig(num_iterations=6, c_init=C0))
+        losses = np.array(res.metrics.loss)
+        assert losses[-1] < 0.5 * losses[0], losses
+        assert np.all(np.isfinite(losses))
+        err0 = _recon_error(np.full(grid.shape, C0), true_vel, grid)
+        err = _recon_error(res.velocity, true_vel, grid)
+        assert err < 0.7 * err0, (err, err0)
+        # fields returned for diagnostics have the right shape
+        assert res.wavefield.shape == (64,) + grid.shape
+        assert res.adjoint_field.shape == (64,) + grid.shape
+
+    @pytest.mark.parametrize("momentum", list(MomentumFormula))
+    def test_all_momentum_formulas_run(self, problem, momentum):
+        grid, data, _ = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        res = nonlinear_cg(vel0, data, grid, SOLVER,
+                           FWIConfig(num_iterations=2, momentum=momentum))
+        losses = np.array(res.metrics.loss)
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] <= losses[0] * 1.05
+
+    @pytest.mark.parametrize("step", list(StepSizeFormula))
+    def test_all_step_formulas_run(self, problem, step):
+        grid, data, _ = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        res = nonlinear_cg(vel0, data, grid, SOLVER,
+                           FWIConfig(num_iterations=2, step_size=step))
+        assert np.all(np.isfinite(np.array(res.metrics.loss)))
+
+    def test_born_solver_variant_runs(self, problem):
+        grid, data, _ = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        import dataclasses
+        res = nonlinear_cg(vel0, data, grid,
+                           dataclasses.replace(SOLVER, method=SolverMethod.BORN),
+                           FWIConfig(num_iterations=2))
+        losses = np.array(res.metrics.loss)
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestLBFGS:
+    def test_lbfgs_reduces_misfit(self, problem):
+        grid, data, true_vel = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        res = run_lbfgs(vel0, data, grid, SOLVER, num_iterations=5)
+        losses = np.array(res.loss_history)
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < 0.8 * losses[0], losses
+        err0 = _recon_error(np.full(grid.shape, C0), true_vel, grid)
+        err = _recon_error(res.velocity, true_vel, grid)
+        assert err < err0

@@ -1,0 +1,110 @@
+"""Synthetic dataset generation — the framework's fixture factory.
+
+TPU-native equivalent of the reference's data synthesizer (reference:
+Lecture19_Fwi/SimulateData.m:1-63): forward-model a known phantom on a grid
+*finer* than the inversion grid (avoiding the inverse crime; reference uses
+0.3 mm vs the 0.8 mm inversion grid), with random complex per-element source
+amplitudes (forcing the inversion to estimate source strengths; reference:
+SimulateData.m:26), then record the wavefield at every element pixel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AcquisitionConfig, SolverConfig
+from ..models.acquisition import RingAcquisition, build_ring_acquisition
+from ..models.grid import Grid2D
+from ..ops.solve import solve_helmholtz
+
+
+class RingDataset(NamedTuple):
+    """The acquisition-data schema of the reference ``RecordedData.mat``
+    (reference: SimulateData.m:62-63): grid coords, true speed map, element
+    positions, frequency, and the (tx, rx) complex data matrix."""
+
+    x: np.ndarray        # (nx,) grid x coords of the SIMULATION grid [m]
+    y: np.ndarray        # (ny,)
+    c: np.ndarray        # (ny, nx) true sound speed [m/s]
+    x_circ: np.ndarray   # (num_elements,) element x [m]
+    y_circ: np.ndarray   # (num_elements,) element y [m]
+    f: float             # frequency [Hz]
+    rec_data: np.ndarray  # (num_elements, num_elements) complex64, [tx, rx]
+
+
+@partial(jax.jit, static_argnames=("grid", "solver"))
+def _forward_record(vel, src, f, rx_y, rx_x, grid: Grid2D,
+                    solver: SolverConfig):
+    u, _ = solve_helmholtz(vel, src, f, grid, solver)
+    rec = u[jnp.arange(u.shape[0])[:, None], rx_y[None, :], rx_x[None, :]]
+    # Return as real/imag planes: complex64 outputs are not fetchable on all
+    # TPU runtimes (see utils.host).
+    return jnp.real(rec), jnp.imag(rec)
+
+
+def synthesize_ring_dataset(vel, grid: Grid2D,
+                            acquisition: AcquisitionConfig = AcquisitionConfig(),
+                            f: float = 0.35e6,
+                            solver: SolverConfig = SolverConfig(),
+                            seed: int = 0,
+                            random_amplitudes: bool = True,
+                            x_elem=None, y_elem=None) -> RingDataset:
+    """Simulate a full ring acquisition over a known speed map.
+
+    Args:
+        vel: (ny, nx) true sound-speed map on the (fine) simulation grid.
+        grid: the simulation grid (use a finer spacing than the inversion
+            grid — reference: SimulateData.m:8 vs FrequencyDomainFWI.m:49).
+        f: transmit frequency [Hz] (reference: 350 kHz).
+        random_amplitudes: give each element a random complex amplitude
+            (reference: SimulateData.m:23-27).
+        x_elem, y_elem: optional explicit element coordinates. Element
+            positions are snapped to the nearest grid pixel on BOTH the
+            synthesis and inversion grids; if those snaps disagree, the
+            position error (up to half a coarse pixel) acts as strong
+            coherent phase noise and single-frequency FWI degrades badly
+            (measured: it can diverge in model space while still fitting
+            data). Passing positions already snapped to the *inversion*
+            grid (exactly representable on a 2x-finer synthesis grid)
+            removes the mismatch. The reference snaps independently on each
+            grid and silently absorbs this error (SimulateData.m:20 vs
+            FrequencyDomainFWI.m:53-55).
+    """
+    acq = build_ring_acquisition(grid, dataclass_replace_tx_all(acquisition),
+                                 x_elem=x_elem, y_elem=y_elem)
+    rng = np.random.default_rng(seed)
+    if random_amplitudes:
+        amps = (rng.standard_normal(acq.num_tx)
+                + 1j * rng.standard_normal(acq.num_tx)).astype(np.complex64)
+    else:
+        amps = np.ones(acq.num_tx, np.complex64)
+    src = jnp.asarray(acq.source_fields(amplitudes=amps))
+
+    re, im = _forward_record(jnp.asarray(vel, jnp.float32), src,
+                             jnp.float32(f),
+                             jnp.asarray(acq.y_idx), jnp.asarray(acq.x_idx),
+                             grid, solver)
+    rec_data = (np.asarray(jax.device_get(re))
+                + 1j * np.asarray(jax.device_get(im))).astype(np.complex64)
+
+    return RingDataset(
+        x=grid.x.astype(np.float64),
+        y=grid.y.astype(np.float64),
+        c=np.asarray(vel, np.float64),
+        x_circ=acq.x_elem,
+        y_circ=acq.y_elem,
+        f=float(f),
+        rec_data=rec_data,
+    )
+
+
+def dataclass_replace_tx_all(acquisition: AcquisitionConfig) -> AcquisitionConfig:
+    """Synthesis always transmits from every element (downsampling is an
+    inversion-side choice; reference: SimulateData.m loops all elements)."""
+    import dataclasses
+    return dataclasses.replace(acquisition, tx_downsample=1)

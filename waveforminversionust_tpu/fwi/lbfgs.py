@@ -1,0 +1,91 @@
+"""L-BFGS FWI over the differentiable solve — the reference's second
+inversion path, made real.
+
+The reference wraps its loss in ``jaxopt.LBFGS`` (reference:
+fwi_loss_function.py:106-132), but its gradient must flow through
+``jax.pure_callback``, which has no VJP — the path cannot actually compute a
+gradient (SURVEY.md Appendix A). Here the loss rides the custom-VJP solve
+(:mod:`..ops.solve`), whose backward pass is one adjoint Helmholtz solve
+reusing the forward factorization, so L-BFGS works end-to-end on device.
+
+Optimization variable: flattened slowness (reference:
+fwi_loss_function.py:110-111 uses 1/c_init as init_params).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import FWIConfig, SolverConfig
+from ..models.grid import Grid2D
+from ..ops.solve import solve_helmholtz
+from .objective import FWIData, estimate_source_strengths, sample_receivers
+
+
+class LBFGSResult(NamedTuple):
+    velocity: jnp.ndarray   # (ny, nx)
+    loss_history: jnp.ndarray  # (num_iterations,)
+
+
+def fwi_loss(slowness_flat, data: FWIData, grid: Grid2D,
+             solver: SolverConfig, estimate_sources: bool = True):
+    """Masked L2 misfit with per-shot source-strength estimation
+    (reference: fwi_loss_function.py:29-103).
+
+    Args:
+        slowness_flat: (ny*nx,) real slowness [s/m].
+    """
+    slowness = slowness_flat.reshape(grid.shape)
+    vel = 1.0 / slowness
+    u, _ = solve_helmholtz(vel, data.src, data.f, grid, solver)
+    rec_sim = sample_receivers(u, data.rx_y, data.rx_x)
+    if estimate_sources:
+        s_est = estimate_source_strengths(rec_sim, data.rec_obs)
+        rec_sim = rec_sim * s_est[:, None]
+    d = rec_sim - data.rec_obs
+    return 0.5 * jnp.sum(jnp.real(jnp.conj(d) * d))
+
+
+@partial(jax.jit, static_argnames=("grid", "solver", "num_iterations",
+                                   "memory_size", "estimate_sources"))
+def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
+              solver: SolverConfig = SolverConfig(),
+              num_iterations: int = 10, memory_size: int = 10,
+              estimate_sources: bool = True) -> LBFGSResult:
+    """L-BFGS inversion (reference: fwi_loss_function.py:106-132) as one
+    compiled scan; optax L-BFGS with zoom linesearch.
+
+    The raw problem is catastrophically badly scaled for an f32 linesearch
+    (slowness ~7e-4 s/m, misfit ~1e-16 for unit-amplitude sources), so we
+    optimize dimensionless slowness (relative to the starting model) and a
+    data-normalized misfit; both rescalings leave the minimizer unchanged.
+    """
+    slow0 = (1.0 / jnp.asarray(vel_init, jnp.float32)).ravel()
+    slow_ref = jnp.mean(slow0)
+    data_norm = 0.5 * jnp.sum(jnp.abs(data.rec_obs) ** 2)
+
+    def loss_fn(p):
+        raw = fwi_loss(p * slow_ref, data, grid, solver, estimate_sources)
+        return raw / data_norm
+
+    params0 = slow0 / slow_ref
+    opt = optax.lbfgs(memory_size=memory_size)
+    opt_state0 = opt.init(params0)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(
+            grad, opt_state, params, value=loss, grad=grad, value_fn=loss_fn)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss * data_norm
+
+    (params, _), losses = jax.lax.scan(step, (params0, opt_state0),
+                                       None, length=num_iterations)
+    vel = 1.0 / (params * slow_ref).reshape(grid.shape)
+    return LBFGSResult(velocity=vel, loss_history=losses)

@@ -1,0 +1,98 @@
+"""FWI data objects and objective pieces: receiver sampling, source-strength
+estimation, adjoint sources, and the masked L2 misfit.
+
+Replaces the reference's Fortran-order gather/scatter machinery
+(reference: nonlinearcg.py:79-116, 215-254; FrequencyDomainFWI.m:82-108) with
+plain row-major integer gathers: receiver (tx, j) reads pixel
+(rx_y[tx, j], rx_x[tx, j]) — correct on any grid shape.
+
+All arrays here are masked to the *active* receivers only (ntx, n_active).
+The reference materializes (ntx, num_elements) arrays with zeros at excluded
+receivers; every inner product it takes is unchanged by dropping those zero
+entries, so the masked form is exactly equivalent and 25% smaller.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.acquisition import RingAcquisition
+
+
+class FWIData(NamedTuple):
+    """Device-resident inversion inputs (a pytree; safe to close over jit).
+
+    Attributes:
+        src: (ntx, ny, nx) complex64 one-hot transmit sources.
+        rec_obs: (ntx, n_active) complex64 observed data, masked to the
+            acceptance angle (gathered from the (ntx, num_elements) recorded
+            matrix once at setup).
+        rx_y, rx_x: (ntx, n_active) int32 receiver pixel indices.
+        f: scalar frequency [Hz].
+    """
+
+    src: jnp.ndarray
+    rec_obs: jnp.ndarray
+    rx_y: jnp.ndarray
+    rx_x: jnp.ndarray
+    f: jnp.ndarray
+
+
+def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f) -> FWIData:
+    """Assemble FWIData from an acquisition and a recorded (ntx_total, num_elements)
+    data matrix indexed [tx, rx] (reference layout: SimulateData.m:55-59)."""
+    rec_data = np.asarray(rec_data)
+    if rec_data.shape[0] == acq.num_tx:
+        rec_rows = rec_data  # already downselected to tx_include rows
+    else:
+        assert rec_data.shape[0] == acq.num_elements, rec_data.shape
+        rec_rows = rec_data[acq.tx_include]  # reference: fwi_script.py:36
+    rec = np.take_along_axis(rec_rows, acq.rx_indices, axis=1)
+    return FWIData(
+        src=jnp.asarray(acq.source_fields(), jnp.complex64),
+        rec_obs=jnp.asarray(rec, jnp.complex64),
+        rx_y=jnp.asarray(acq.rx_y, jnp.int32),
+        rx_x=jnp.asarray(acq.rx_x, jnp.int32),
+        f=jnp.asarray(f, jnp.float32),
+    )
+
+
+def sample_receivers(fields, rx_y, rx_x):
+    """Gather wavefields at receiver pixels: (ntx, ny, nx) -> (ntx, n_active)."""
+    ntx = fields.shape[0]
+    return fields[jnp.arange(ntx)[:, None], rx_y, rx_x]
+
+
+def scatter_to_fields(values, rx_y, rx_x, shape):
+    """Scatter (ntx, n_active) values onto (ntx, ny, nx) zero fields — the
+    adjoint-source builder (reference: nonlinearcg.py:108-116)."""
+    ntx = values.shape[0]
+    out = jnp.zeros((ntx,) + tuple(shape), values.dtype)
+    return out.at[jnp.arange(ntx)[:, None], rx_y, rx_x].set(values)
+
+
+def estimate_source_strengths(rec_sim, rec_obs):
+    """Per-transmitter complex least-squares source scale
+    <u_sim, d>/<u_sim, u_sim> (reference: nonlinearcg.py:14-20,
+    FrequencyDomainFWI.m:82-93). Handles the unknown per-element complex
+    amplitude the synthesizer injects (reference: SimulateData.m:26)."""
+    num = jnp.sum(jnp.conj(rec_sim) * rec_obs, axis=1)
+    den = jnp.sum(jnp.conj(rec_sim) * rec_sim, axis=1)
+    return num / jnp.where(den == 0, 1, den)
+
+
+def misfit(rec_sim, rec_obs):
+    """0.5 sum |u_sim - d|^2 over active receivers
+    (reference: fwi_loss_function.py:102)."""
+    d = rec_sim - rec_obs
+    return 0.5 * jnp.sum(jnp.real(jnp.conj(d) * d))
+
+
+def virtual_source(slowness, wavefields, f):
+    """VIRT = 2 (2 pi f)^2 * slowness * u — the dH/d(slowness) action on u
+    (reference: nonlinearcg.py:120, FrequencyDomainFWI.m:110-111)."""
+    omega2 = (2 * jnp.pi * f) ** 2
+    return (2 * omega2 * slowness)[None].astype(jnp.complex64) * wavefields

@@ -1,0 +1,204 @@
+"""Nonlinear conjugate-gradient FWI — the reference's primary inversion path,
+compiled to a single jitted ``lax.scan``.
+
+Per iteration (reference: nonlinearcg.py:71-169, FrequencyDomainFWI.m:76-189):
+  1. forward Helmholtz solve for all transmitters
+  2. per-tx complex source-strength estimation
+  3. adjoint sources from receiver residuals; adjoint Helmholtz solve
+  4. gradient = -sum_tx Re(conj(VIRT) * adjoint field)
+  5. CG momentum (5 selectable formulas) -> search direction
+  6. forward-project the search direction (3rd Helmholtz solve)
+  7. linearized line search (3 selectable step formulas); slowness update
+
+TPU-native differences from the reference:
+  * all three solves per iteration share ONE banded factorization (the
+    reference host-factorizes 3x per iteration);
+  * the full loop lives in one XLA program — no host round-trips
+    (the reference crosses the device/host boundary 3x per iteration);
+  * per-iteration scalars (loss, |grad|, beta, step) are returned as scan
+    outputs instead of being lost (the reference records no loss history —
+    SURVEY.md section 5);
+  * momentum/step formulas are config enums: the reference's JAX port
+    hardcodes Hestenes-Stiefel + formula 1 (nonlinearcg.py:129-159); the
+    MATLAB original's 5x3 option matrix (FrequencyDomainFWI.m:36-45) is
+    restored here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FWIConfig, MomentumFormula, SolverConfig, StepSizeFormula
+from ..models.grid import Grid2D
+from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
+from .objective import (FWIData, estimate_source_strengths, misfit,
+                        sample_receivers, scatter_to_fields, virtual_source)
+
+
+class CGState(NamedTuple):
+    velocity: jnp.ndarray       # (ny, nx) float32
+    slowness: jnp.ndarray       # (ny, nx) float32
+    search_dir: jnp.ndarray     # (ny, nx) float32
+    grad_prev: jnp.ndarray      # (ny, nx) float32
+    wavefield: jnp.ndarray      # (ntx, ny, nx) complex64 (latest)
+    adjoint_field: jnp.ndarray  # (ntx, ny, nx) complex64 (latest)
+
+
+class CGMetrics(NamedTuple):
+    loss: jnp.ndarray
+    grad_norm: jnp.ndarray
+    beta: jnp.ndarray
+    step_size: jnp.ndarray
+
+
+class CGResult(NamedTuple):
+    velocity: jnp.ndarray
+    search_dir: jnp.ndarray
+    gradient: jnp.ndarray
+    adjoint_field: jnp.ndarray  # (ntx, ny, nx) complex64, last iteration
+    wavefield: jnp.ndarray      # (ntx, ny, nx) complex64, last iteration
+    metrics: CGMetrics          # per-iteration, leading axis = iterations
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+def _momentum(formula: MomentumFormula, it, grad, grad_prev, search_dir,
+              eps: float):
+    """CG momentum beta (reference: FrequencyDomainFWI.m:119-148). beta = 0 at
+    the first iteration for every formula. ``formula`` is static config, so
+    only the selected branch is traced."""
+    dg = grad - grad_prev
+    if formula == MomentumFormula.GRADIENT_DESCENT:
+        return jnp.float32(0.0)
+    if formula == MomentumFormula.FLETCHER_REEVES:
+        beta = _dot(grad, grad) / (_dot(grad_prev, grad_prev) + eps)
+    elif formula == MomentumFormula.POLAK_RIBIERE:
+        beta = _dot(grad, dg) / (_dot(grad_prev, grad_prev) + eps)
+    elif formula == MomentumFormula.PR_FR_CLAMPED:
+        gp2 = _dot(grad_prev, grad_prev) + eps
+        beta = jnp.clip(_dot(grad, dg) / gp2, 0.0, _dot(grad, grad) / gp2)
+    elif formula == MomentumFormula.HESTENES_STIEFEL:
+        beta = _dot(grad, dg) / (_dot(search_dir, dg) + eps)
+    else:
+        raise ValueError(f"unknown momentum formula {formula}")
+    return jnp.where(it == 0, 0.0, beta)
+
+
+def _step_size(formula: StepSizeFormula, drec, rec_obs, rec_sim, grad,
+               search_dir, eps: float):
+    """Linearized line-search step (reference: FrequencyDomainFWI.m:149-172,
+    nonlinearcg.py:22-32)."""
+    den = jnp.sum(jnp.real(jnp.conj(drec) * drec)) + eps
+    if formula == StepSizeFormula.RESIDUAL:
+        num = jnp.real(jnp.sum(jnp.conj(drec) * (rec_obs - rec_sim)))
+        return num / den
+    if formula == StepSizeFormula.GRADIENT:
+        return _dot(grad, grad) / den
+    if formula == StepSizeFormula.GRADIENT_SD:
+        return -_dot(grad, search_dir) / den
+    raise ValueError(f"unknown step-size formula {formula}")
+
+
+def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
+                 fwi: FWIConfig):
+    """Build the jittable body of one CG iteration."""
+
+    def step(state: CGState, it):
+        vel, slow, sd, gprev = (state.velocity, state.slowness,
+                                state.search_dir, state.grad_prev)
+
+        # One operator build + factorization serves all 3 solves.
+        op = make_helmholtz_operator(vel, data.f, grid, solver)
+
+        # (1) forward solve, all transmitters at once
+        # (reference: nonlinearcg.py:76)
+        wv = helmholtz_operator_solve(op, data.src, grid, solver)
+        rec_sim = sample_receivers(wv, data.rx_y, data.rx_x)
+
+        # (2) source-strength estimation (reference: nonlinearcg.py:79-89)
+        if fwi.estimate_source_strength:
+            s_est = estimate_source_strengths(rec_sim, data.rec_obs)
+            wv = wv * s_est[:, None, None]
+            rec_sim = rec_sim * s_est[:, None]
+
+        residual = rec_sim - data.rec_obs
+        loss = misfit(rec_sim, data.rec_obs)
+
+        # (3) adjoint solve on the scattered residuals
+        # (reference: nonlinearcg.py:93-125)
+        adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x, grid.shape)
+        adj_wv = helmholtz_operator_solve(op, adj_src, grid, solver,
+                                          adjoint=True)
+
+        # (4) adjoint-state gradient (reference: nonlinearcg.py:118-127)
+        virt = virtual_source(slow, wv, data.f)
+        grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
+
+        # (5) momentum & search direction (reference: nonlinearcg.py:129-138)
+        beta = _momentum(fwi.momentum, it, grad, gprev, sd, fwi.eps_stabilizer)
+        sd_new = beta * sd - grad
+
+        # (6) forward-project the search direction
+        # (reference: nonlinearcg.py:141-156)
+        pert = helmholtz_operator_solve(
+            op, -virt * sd_new[None].astype(jnp.complex64), grid, solver)
+        drec = sample_receivers(pert, data.rx_y, data.rx_x)
+
+        # (7) step size & slowness update (reference: nonlinearcg.py:159,
+        # 22-32; slowness stays real throughout, matching the MATLAB
+        # original's real() — FrequencyDomainFWI.m:173-174)
+        step_sz = _step_size(fwi.step_size, drec, data.rec_obs, rec_sim,
+                             grad, sd_new, fwi.eps_stabilizer)
+        slow_new = slow + step_sz * sd_new
+        vel_new = 1.0 / slow_new
+
+        metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
+                            beta=beta, step_size=step_sz)
+        new_state = CGState(vel_new, slow_new, sd_new, grad, wv, adj_wv)
+        return new_state, metrics
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations"))
+def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
+                 solver: SolverConfig = SolverConfig(),
+                 fwi: FWIConfig = FWIConfig(),
+                 num_iterations: int | None = None) -> CGResult:
+    """Run the full nonlinear-CG inversion as one compiled scan.
+
+    Mirrors the reference entry point ``nonlinear_conjugate_gradient``
+    (reference: nonlinearcg.py:41-180) with a metrics history added.
+
+    Args:
+        vel_init: (ny, nx) starting model [m/s] (reference uses a constant
+            1480; pass ``fwi.c_init * jnp.ones(grid.shape)``).
+        num_iterations: overrides ``fwi.num_iterations`` when given.
+    """
+    n_iter = fwi.num_iterations if num_iterations is None else num_iterations
+    vel0 = jnp.asarray(vel_init, jnp.float32)
+    ntx = data.src.shape[0]
+    state = CGState(
+        velocity=vel0,
+        slowness=1.0 / vel0,
+        search_dir=jnp.zeros(grid.shape, jnp.float32),
+        grad_prev=jnp.zeros(grid.shape, jnp.float32),
+        wavefield=jnp.zeros((ntx,) + grid.shape, jnp.complex64),
+        adjoint_field=jnp.zeros((ntx,) + grid.shape, jnp.complex64),
+    )
+    step = make_cg_step(data, grid, solver, fwi)
+    final, metrics = jax.lax.scan(step, state, jnp.arange(n_iter))
+    return CGResult(
+        velocity=final.velocity,
+        search_dir=final.search_dir,
+        gradient=final.grad_prev,
+        adjoint_field=final.adjoint_field,
+        wavefield=final.wavefield,
+        metrics=metrics,
+    )
