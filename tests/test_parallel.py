@@ -1,0 +1,79 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: shot-sharded
+inversion must match single-device results; halo-exchange stencil application
+must match the unsharded operator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from waveforminversionust_tpu import (AcquisitionConfig, FWIConfig, Grid2D,
+                                      PMLConfig, SolverConfig)
+from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+from waveforminversionust_tpu.fwi.objective import build_fwi_data
+from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+from waveforminversionust_tpu.ops.apply import h_apply
+from waveforminversionust_tpu.ops.stencil import helmholtz_coefficients
+from waveforminversionust_tpu.parallel.halo import make_grid_sharded_apply
+from waveforminversionust_tpu.parallel.sharding import (shard_fwi_data,
+                                                        shot_mesh)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_shot_sharded_cg_matches_single_device():
+    """The jitted CG loop with shot-sharded inputs gives the same answer as
+    unsharded execution (GSPMD inserts the cross-shot reductions)."""
+    C0 = 1500.0
+    f = 200e3
+    acq_cfg = AcquisitionConfig(num_elements=32, radius=18e-3,
+                                num_excluded_each_side=3)
+    solver = SolverConfig(pml=PMLConfig(l_pml=4e-3))
+    grid = Grid2D.centered(24e-3, 0.8e-3)
+    vel_true = smooth_blob_phantom(grid, radius=8e-3, dc=30, c_bkgnd=C0)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=f, seed=0,
+                                 solver=solver)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, f)
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2)
+
+    res_single = nonlinear_cg(vel0, data, grid, solver, fwi)
+
+    mesh = shot_mesh()
+    data_sharded = shard_fwi_data(data, mesh)
+    res_sharded = nonlinear_cg(vel0, data_sharded, grid, solver, fwi)
+
+    np.testing.assert_allclose(np.array(res_sharded.metrics.loss),
+                               np.array(res_single.metrics.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.array(res_sharded.velocity),
+                               np.array(res_single.velocity),
+                               atol=1e-3 * float(jnp.abs(res_single.velocity).max()))
+
+
+def test_halo_apply_matches_unsharded():
+    grid = Grid2D(nx=24, ny=32, dx=0.8e-3, dy=0.8e-3, x0=-9.2e-3, y0=-12.4e-3)
+    rng = np.random.default_rng(0)
+    vel = (1500 + 50 * rng.standard_normal(grid.shape)).astype(np.float32)
+    coeffs = helmholtz_coefficients(jnp.array(vel), grid, jnp.float32(350e3),
+                                    PMLConfig(l_pml=2e-3))
+    u = jnp.array((rng.standard_normal((3,) + grid.shape)
+                   + 1j * rng.standard_normal((3,) + grid.shape))
+                  .astype(np.complex64))
+
+    ref = h_apply(coeffs, u)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("grid",))
+    apply_sharded = make_grid_sharded_apply(mesh)
+    sharding_c = NamedSharding(mesh, P(None, "grid", None))
+    coeffs_s = jax.device_put(coeffs, sharding_c)
+    u_s = jax.device_put(u, sharding_c)
+    out = jax.jit(apply_sharded)(coeffs_s, u_s)
+
+    np.testing.assert_allclose(np.array(out), np.array(ref),
+                               atol=1e-5 * float(jnp.abs(ref).max()))
