@@ -1,0 +1,95 @@
+"""Viz, checkpoint, CLI and phantom coverage."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from waveforminversionust_tpu import Grid2D
+from waveforminversionust_tpu.models.phantom import (breast_phantom,
+                                                     disk_phantom,
+                                                     phantom_from_image,
+                                                     smooth_blob_phantom)
+from waveforminversionust_tpu.utils.checkpoint import load_state, save_state
+from waveforminversionust_tpu.utils.host import fetch, fetch_tree
+from waveforminversionust_tpu import viz
+
+
+def test_phantoms_physical():
+    grid = Grid2D.centered(120e-3, 2e-3)
+    for ph in (breast_phantom(grid), disk_phantom(grid, 30e-3),
+               smooth_blob_phantom(grid, 30e-3)):
+        assert ph.shape == grid.shape
+        assert 1300 < ph.min() <= ph.max() < 1700
+        assert ph.dtype == np.float32
+    # deterministic by seed
+    np.testing.assert_array_equal(breast_phantom(grid, seed=5),
+                                  breast_phantom(grid, seed=5))
+
+
+def test_phantom_from_image():
+    grid = Grid2D.centered(30e-3, 1e-3)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (64, 64))
+    ph = phantom_from_image(grid, img, pixel_size=0.7e-3)
+    assert ph.shape == grid.shape
+    # outside the image footprint -> background
+    assert ph[0, 0] == pytest.approx(1500.0)
+    assert ph.std() > 1.0  # content mapped in
+
+
+def test_fetch_complex_roundtrip():
+    z = jnp.full((4, 5), 1.5 - 2.5j, jnp.complex64)
+    out = fetch(z)
+    assert out.dtype.kind == "c"
+    np.testing.assert_allclose(out, np.full((4, 5), 1.5 - 2.5j))
+    tree = fetch_tree({"a": z, "b": jnp.ones(3)})
+    assert tree["a"].dtype.kind == "c" and tree["b"].dtype.kind == "f"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "velocity": np.random.default_rng(0).standard_normal((7, 9)).astype(np.float32),
+        "stage": np.int32(3),
+        "frequency": np.float64(2.5e5),
+    }
+    path = str(tmp_path / "ckpt")
+    save_state(path, state)
+    back = load_state(path)
+    np.testing.assert_array_equal(back["velocity"], state["velocity"])
+    assert int(back["stage"]) == 3
+    assert float(back["frequency"]) == 2.5e5
+
+
+def test_viz_smoke(tmp_path):
+    grid = Grid2D.centered(12e-3, 1e-3)
+    ny, nx = grid.shape
+    vel = breast_phantom(grid)
+    wv = jnp.ones((2, ny, nx), jnp.complex64)
+    viz.plot_wavefields(grid, wv, wv, path=str(tmp_path / "wv.png"))
+    viz.plot_reconstruction(grid, jnp.asarray(vel),
+                            search_dir=jnp.zeros(grid.shape),
+                            gradient=jnp.zeros(grid.shape),
+                            true_map=vel, path=str(tmp_path / "rec.png"))
+    viz.plot_convergence({"loss": np.logspace(0, -3, 10),
+                          "grad_norm": np.logspace(1, -2, 10),
+                          "step_size": np.ones(10)},
+                         path=str(tmp_path / "conv.png"))
+    for f in ("wv.png", "rec.png", "conv.png"):
+        assert os.path.getsize(tmp_path / f) > 10_000
+
+
+def test_cli_simulate_and_run(tmp_path):
+    from waveforminversionust_tpu.cli import main
+    data_path = str(tmp_path / "tiny.mat")
+    main(["simulate", data_path, "--xmax", "12e-3", "--dx", "0.4e-3",
+          "--elements", "16", "--radius", "9e-3", "--frequency", "200e3"])
+    assert os.path.exists(data_path)
+    main(["run", data_path, "--iterations", "1",
+          "--grid-xmax", "12e-3", "--grid-dx", "0.8e-3",
+          "--elements", "16", "--radius", "9e-3", "--exclude", "2",
+          "--out", str(tmp_path / "vel.npy"),
+          "--plot", str(tmp_path / "rec.png")])
+    assert os.path.exists(tmp_path / "vel.npy")
+    assert os.path.exists(tmp_path / "rec.png")

@@ -1,0 +1,168 @@
+"""Command-line interface: ``python -m waveforminversionust_tpu.cli <cmd>``.
+
+Subcommands cover the reference's entry points (reference: README.md:36-39
+'python fwi_script.py'; SimulateData.m; TimeDomainSimulation.m) plus
+benchmarking:
+
+  run        invert a recorded dataset (CG or L-BFGS, optional continuation)
+  simulate   synthesize a ring-array dataset from a phantom
+  timedomain multi-frequency sweep -> time-domain movie + channel data
+  bench      the headline benchmark (one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args):
+    from .config import ContinuationConfig, FWIConfig, MomentumFormula, StepSizeFormula
+    from .data.matio import load_recorded_dataset
+    from .fwi.runner import invert_dataset, reconstruction_rmse
+    from .models.grid import Grid2D
+    from . import viz
+
+    ds = load_recorded_dataset(args.data)
+    grid = None
+    if args.grid_xmax:
+        grid = Grid2D.centered(args.grid_xmax, args.grid_dx)
+    fwi = FWIConfig(c_init=args.c_init, num_iterations=args.iterations,
+                    momentum=MomentumFormula(args.momentum),
+                    step_size=StepSizeFormula(args.step_formula))
+    continuation = None
+    if args.frequencies:
+        continuation = ContinuationConfig(
+            frequencies=tuple(float(f) for f in args.frequencies),
+            iterations_per_frequency=args.iterations)
+    callback = None
+    if args.checkpoint_dir:
+        from .utils.checkpoint import make_stage_checkpointer
+        callback = make_stage_checkpointer(args.checkpoint_dir)
+    acq_kwargs = {}
+    if args.elements is not None:
+        from .config import AcquisitionConfig
+        acq_kwargs["acquisition"] = AcquisitionConfig(
+            num_elements=args.elements, radius=args.radius or 110e-3,
+            num_excluded_each_side=args.exclude)
+    res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
+                         continuation=continuation, callback=callback,
+                         **acq_kwargs)
+    print("loss history:", np.array2string(res.metrics["loss"], precision=3))
+    if ds.c is not None:
+        true_grid = Grid2D.from_arrays(ds.x, ds.y)
+        rmse = reconstruction_rmse(res.velocity, res.grid, ds.c, true_grid)
+        print(f"reconstruction RMSE vs true map: {rmse:.2f} m/s")
+    if args.plot:
+        viz.plot_reconstruction(res.grid, res.velocity, true_map=ds.c,
+                                true_grid=Grid2D.from_arrays(ds.x, ds.y),
+                                path=args.plot)
+        viz.plot_convergence(res.metrics,
+                             path=args.plot.replace(".png", "_conv.png"))
+        print("plots written to", args.plot)
+    if args.out:
+        np.save(args.out, res.velocity)
+        print("velocity saved to", args.out)
+
+
+def _cmd_simulate(args):
+    from .config import AcquisitionConfig
+    from .data.matio import save_recorded_dataset
+    from .data.synthesize import synthesize_ring_dataset
+    from .models.grid import Grid2D
+    from .models.phantom import breast_phantom
+
+    grid = Grid2D.centered(args.xmax, args.dx)
+    vel = breast_phantom(grid, seed=args.seed)
+    acq = AcquisitionConfig(num_elements=args.elements, radius=args.radius)
+    ds = synthesize_ring_dataset(vel, grid, acq, f=args.frequency,
+                                 seed=args.seed)
+    save_recorded_dataset(args.out, ds)
+    print(f"dataset written to {args.out}: grid {grid.shape}, "
+          f"{args.elements} elements, f={args.frequency / 1e3:.0f} kHz")
+
+
+def _cmd_timedomain(args):
+    from .data.timedomain import simulate_time_domain
+    from .models.grid import Grid2D
+    from .models.phantom import breast_phantom
+    from . import viz
+
+    grid = Grid2D.centered(args.xmax, args.dx)
+    vel = breast_phantom(grid, seed=args.seed)
+    res = simulate_time_domain(vel, grid, element_idx=args.element,
+                               num_elements=args.elements,
+                               radius=args.radius)
+    print(f"synthesized {res.wavefields_t.shape[0]} time frames over "
+          f"{len(res.freqs)} frequencies")
+    if args.plot:
+        viz.plot_time_snapshots(grid, res, path=args.plot)
+        print("plot written to", args.plot)
+
+
+def _cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="waveforminversionust_tpu",
+                                description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="invert a recorded dataset")
+    pr.add_argument("data", help=".mat file in the RecordedData schema")
+    pr.add_argument("--method", choices=["cg", "lbfgs"], default="cg")
+    pr.add_argument("--iterations", type=int, default=10)
+    pr.add_argument("--c-init", type=float, default=1480.0)
+    pr.add_argument("--momentum", type=int, default=4,
+                    help="0=GD 1=FR 2=PR 3=PR^FR 4=HS")
+    pr.add_argument("--step-formula", type=int, default=1, help="1|2|3")
+    pr.add_argument("--frequencies", nargs="*", type=float, default=None,
+                    help="multi-frequency continuation schedule [Hz]")
+    pr.add_argument("--checkpoint-dir", default=None)
+    pr.add_argument("--plot", default=None, help="output PNG path")
+    pr.add_argument("--out", default=None, help="output .npy velocity path")
+    pr.add_argument("--grid-xmax", type=float, default=None,
+                    help="reconstruction grid half-width [m] (default 120e-3)")
+    pr.add_argument("--grid-dx", type=float, default=0.8e-3)
+    pr.add_argument("--elements", type=int, default=None,
+                    help="number of ring elements (default 256)")
+    pr.add_argument("--radius", type=float, default=None)
+    pr.add_argument("--exclude", type=int, default=31,
+                    help="receivers excluded each side of tx")
+    pr.set_defaults(fn=_cmd_run)
+
+    ps = sub.add_parser("simulate", help="synthesize a ring dataset")
+    ps.add_argument("out", help="output .mat path")
+    ps.add_argument("--xmax", type=float, default=120e-3)
+    ps.add_argument("--dx", type=float, default=0.3e-3)
+    ps.add_argument("--elements", type=int, default=256)
+    ps.add_argument("--radius", type=float, default=110e-3)
+    ps.add_argument("--frequency", type=float, default=350e3)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.set_defaults(fn=_cmd_simulate)
+
+    pt = sub.add_parser("timedomain", help="time-domain wavefield demo")
+    pt.add_argument("--xmax", type=float, default=120e-3)
+    pt.add_argument("--dx", type=float, default=1.0e-3)
+    pt.add_argument("--elements", type=int, default=256)
+    pt.add_argument("--radius", type=float, default=110e-3)
+    pt.add_argument("--element", type=int, default=64)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--plot", default=None)
+    pt.set_defaults(fn=_cmd_timedomain)
+
+    pb = sub.add_parser("bench", help="headline benchmark (JSON line)")
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
