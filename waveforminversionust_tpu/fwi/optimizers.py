@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from ..config import FWIConfig, MomentumFormula, SolverConfig, StepSizeFormula
 from ..models.grid import Grid2D
 from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
+from ..utils.host import ComplexParts
 from .objective import (FWIData, estimate_source_strengths, misfit,
                         sample_receivers, scatter_to_fields, virtual_source)
 
@@ -59,9 +60,11 @@ class CGResult(NamedTuple):
     velocity: jnp.ndarray
     search_dir: jnp.ndarray
     gradient: jnp.ndarray
-    adjoint_field: jnp.ndarray  # (ntx, ny, nx) complex64, last iteration
-    wavefield: jnp.ndarray      # (ntx, ny, nx) complex64, last iteration
-    metrics: CGMetrics          # per-iteration, leading axis = iterations
+    adjoint_field: ComplexParts  # (ntx, ny, nx), last iteration
+    wavefield: ComplexParts      # (ntx, ny, nx), last iteration
+    metrics: CGMetrics           # per-iteration, leading axis = iterations
+    # Fields are (real, imag) float32 pairs: jit outputs must be real on the
+    # targeted TPU runtime (see utils.host.ComplexParts).
 
 
 def _dot(a, b):
@@ -198,7 +201,7 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
         velocity=final.velocity,
         search_dir=final.search_dir,
         gradient=final.grad_prev,
-        adjoint_field=final.adjoint_field,
-        wavefield=final.wavefield,
+        adjoint_field=ComplexParts.of(final.adjoint_field),
+        wavefield=ComplexParts.of(final.wavefield),
         metrics=metrics,
     )

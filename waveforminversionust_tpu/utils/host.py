@@ -10,14 +10,50 @@ device (plots, golden-file dumps, checkpoints).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+class ComplexParts(NamedTuple):
+    """A complex array carried as (real, imag) float planes.
+
+    Jitted entry points that must hand complex fields back to the host
+    return this instead of complex64: on the targeted TPU runtime a program
+    with any complex64 *output* leaves ALL its outputs unfetchable (and a
+    failed fetch can wedge the device relay), so complex data crosses the
+    jit boundary split.
+    """
+
+    real: jnp.ndarray
+    imag: jnp.ndarray
+
+    @classmethod
+    def of(cls, z) -> "ComplexParts":
+        return cls(jnp.real(z), jnp.imag(z))
+
+    def combined(self):
+        """Recombine on device (or host for numpy inputs)."""
+        return self.real + 1j * self.imag
+
+    @property
+    def shape(self):
+        return self.real.shape
+
+
 @jax.jit
 def _split_complex(x):
     return jnp.real(x), jnp.imag(x)
+
+
+def as_numpy_complex(x) -> np.ndarray:
+    """Fetch any of {ComplexParts, complex array, real array} to numpy."""
+    if isinstance(x, ComplexParts):
+        return (np.asarray(jax.device_get(x.real))
+                + 1j * np.asarray(jax.device_get(x.imag)))
+    return fetch(x)
 
 
 def fetch(x) -> np.ndarray:

@@ -18,7 +18,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 from .models.grid import Grid2D
-from .utils.host import fetch
+from .utils.host import as_numpy_complex, fetch
 
 SPEED_RANGE = (1400.0, 1600.0)  # reference display range [m/s]
 
@@ -44,8 +44,8 @@ def plot_wavefields(grid: Grid2D, wavefield, adjoint_field, tx: int = 0,
                     path: str | None = None):
     """4-panel forward/adjoint wavefield figure (reference:
     fwi_script.py:133-183)."""
-    wv = fetch(wavefield[tx])
-    adj = fetch(adjoint_field[tx])
+    wv = as_numpy_complex(wavefield)[tx]
+    adj = as_numpy_complex(adjoint_field)[tx]
     fig, axs = plt.subplots(2, 2, figsize=(12, 10))
     scale = max(np.abs(adj).max(), 1e-30)
     imagesc(axs[0, 0], grid, adj.real, (-scale / 10, scale / 10),
