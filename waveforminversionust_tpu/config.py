@@ -140,6 +140,11 @@ class FWIConfig:
     step_size: StepSizeFormula = StepSizeFormula.RESIDUAL
     eps_stabilizer: float = 0.0  # added to beta/step denominators (0 = reference behavior)
     estimate_source_strength: bool = True
+    # Failure guards (the reference has none — SURVEY.md section 5; its
+    # stabilizers are commented out and division by ~0 is possible at
+    # convergence, nonlinearcg.py:28,133):
+    reject_nonfinite: bool = True  # skip an update that would produce NaN/inf
+    clip_velocity: Optional[Tuple[float, float]] = None  # physical bounds [m/s]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -161,6 +161,19 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         slow_new = slow + step_sz * sd_new
         vel_new = 1.0 / slow_new
 
+        # Failure guards (none exist in the reference — SURVEY.md section 5).
+        if fwi.clip_velocity is not None:
+            lo, hi = fwi.clip_velocity
+            vel_new = jnp.clip(vel_new, lo, hi)
+            slow_new = 1.0 / vel_new
+        if fwi.reject_nonfinite:
+            ok = (jnp.isfinite(step_sz) & jnp.isfinite(beta)
+                  & jnp.all(jnp.isfinite(slow_new)))
+            vel_new = jnp.where(ok, vel_new, vel)
+            slow_new = jnp.where(ok, slow_new, slow)
+            sd_new = jnp.where(ok, sd_new, sd)
+            step_sz = jnp.where(ok, step_sz, 0.0)
+
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
         new_state = CGState(vel_new, slow_new, sd_new, grad, wv, adj_wv)

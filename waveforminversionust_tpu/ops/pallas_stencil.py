@@ -1,0 +1,107 @@
+"""Pallas TPU kernel for the 9-point Helmholtz operator application.
+
+The operator apply is the hot op of every Krylov/Born iteration and of the
+banded solver's refinement passes. The jnp version (:func:`.apply.h_apply`)
+materializes nine shifted copies of the field; this kernel performs the nine
+complex multiply-adds in one VMEM pass per transmit element.
+
+TPUs have no native complex arithmetic, so complex64 planes are carried as
+(real, imag) float32 pairs (SURVEY.md section 7 'hard parts' (d)) and the
+complex products are expanded manually:
+
+    out_re = sum_s  c_re[s] * u_re(s) - c_im[s] * u_im(s)
+    out_im = sum_s  c_re[s] * u_im(s) + c_im[s] * u_re(s)
+
+where u(s) is the field shifted by the stencil offset. The shift is realized
+by writing the field into a zero-initialized halo scratch buffer and taking
+nine static slices — all shapes static, no gather.
+
+One grid step per transmit element; VMEM budget at the reference 301x301
+grid: field + halo + 9x2 coefficient planes ~ 8 MB < 16 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .stencil import STENCIL_OFFSETS
+
+try:  # Pallas is TPU/interpret-only in some builds; degrade gracefully.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _kernel(cre_ref, cim_ref, ure_ref, uim_ref, ore_ref, oim_ref,
+            halo_re, halo_im):
+    ny = ure_ref.shape[-2]
+    nx = ure_ref.shape[-1]
+
+    # Zero halo ring, interior = field.
+    halo_re[...] = jnp.zeros_like(halo_re)
+    halo_im[...] = jnp.zeros_like(halo_im)
+    halo_re[1:1 + ny, 1:1 + nx] = ure_ref[0]
+    halo_im[1:1 + ny, 1:1 + nx] = uim_ref[0]
+
+    out_re = jnp.zeros((ny, nx), jnp.float32)
+    out_im = jnp.zeros((ny, nx), jnp.float32)
+    for s, (dy, dx) in enumerate(STENCIL_OFFSETS):
+        ur = halo_re[1 + dy:1 + dy + ny, 1 + dx:1 + dx + nx]
+        ui = halo_im[1 + dy:1 + dy + ny, 1 + dx:1 + dx + nx]
+        cr = cre_ref[s]
+        ci = cim_ref[s]
+        out_re = out_re + cr * ur - ci * ui
+        out_im = out_im + cr * ui + ci * ur
+    ore_ref[0] = out_re
+    oim_ref[0] = out_im
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def h_apply_pallas(coeffs, u, interpret: bool = False):
+    """Pallas version of :func:`.apply.h_apply`.
+
+    Args:
+        coeffs: (9, ny, nx) complex64 operator planes.
+        u: (batch, ny, nx) complex64 fields.
+        interpret: run in interpreter mode (for CPU testing).
+    """
+    if not _HAVE_PALLAS:  # pragma: no cover
+        from .apply import h_apply
+        return h_apply(coeffs, u)
+
+    batch, ny, nx = u.shape
+    cre = jnp.real(coeffs).astype(jnp.float32)
+    cim = jnp.imag(coeffs).astype(jnp.float32)
+    ure = jnp.real(u).astype(jnp.float32)
+    uim = jnp.imag(u).astype(jnp.float32)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((batch, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((batch, ny, nx), jnp.float32),
+    )
+    ore, oim = pl.pallas_call(
+        _kernel,
+        out_shape=out_shape,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((9, ny, nx), lambda i: (0, 0, 0)),
+            pl.BlockSpec((9, ny, nx), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ny + 2, nx + 2), jnp.float32),
+            pltpu.VMEM((ny + 2, nx + 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cre, cim, ure, uim)
+    return (ore + 1j * oim).astype(jnp.complex64)
