@@ -105,6 +105,8 @@ class SolverConfig:
     refine: int = 1  # iterative-refinement passes after a banded solve
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0
+    born_krylov: bool = True  # GMRES-accelerate the Born series (2-5x fewer FFTs)
+    born_restart: int = 16
     born_pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12.0e-3)
     pml: PMLConfig = PMLConfig()
     stencil: StencilConfig = StencilConfig()

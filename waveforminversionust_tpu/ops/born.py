@@ -50,21 +50,14 @@ def _boundary_curve(r, c, n_order: int, k0, sign):
     return num / (math.factorial(n_order) * trunc_exp)
 
 
-def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
-                      adjoint: bool = False, n_order: int = 9,
-                      iter_cap: int = 1000, iter_scale: float = 1.0):
-    """Solve the Helmholtz equation by convergent Born series.
+def born_operator(vel, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
+                  adjoint: bool = False, n_order: int = 9):
+    """Build the CBS split: Green's operator, potential, preconditioner.
 
-    Args:
-        vel: (ny, nx) wave speed [m/s].
-        src: (batch, ny, nx) complex sources.
-        f: frequency [Hz].
-        adjoint: solve the conjugated (adjoint) equation, matching the
-            reference's sign flip (solveHelmholtzBornSeries.m:10-14).
-        iter_cap: hard bound on the data-dependent iteration count.
-
-    Returns:
-        (wavefield (batch, ny, nx) complex64, iterations int32)
+    Returns (greens, v_pot, gamma, n_iter_heuristic) with
+    ``greens(w) = IFFT(g0 * FFT(w))`` (reference:
+    solveHelmholtzBornSeries.m:53-58) and the physics-derived iteration
+    count per unit ``iter_scale``.
     """
     ny, nx = grid.ny, grid.nx
     dx, dy = grid.dx, grid.dy
@@ -98,17 +91,38 @@ def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
     gamma = 1j / eps * v_pot
 
     pseudo_prop_len = 2 * k_0 / jnp.abs(eps)
-    max_dist = jnp.float32(grid.diagonal)
-    n_iter = jnp.minimum(
-        jnp.ceil(iter_scale * max_dist / pseudo_prop_len).astype(jnp.int32),
-        iter_cap)
+    n_iter = jnp.ceil(jnp.float32(grid.diagonal) / pseudo_prop_len)
 
     g0_k = 1.0 / (p2 - (k_0 ** 2 + 1j * eps))
 
-    src = jnp.asarray(src, jnp.complex64)
-
     def greens(w):
         return jnp.fft.ifft2(g0_k * jnp.fft.fft2(w)).astype(jnp.complex64)
+
+    return greens, v_pot, gamma, n_iter
+
+
+def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
+                      adjoint: bool = False, n_order: int = 9,
+                      iter_cap: int = 1000, iter_scale: float = 1.0):
+    """Solve the Helmholtz equation by convergent Born series (plain
+    Richardson iteration, matching the reference's loop,
+    solveHelmholtzBornSeries.m:66-70).
+
+    Args:
+        vel: (ny, nx) wave speed [m/s].
+        src: (batch, ny, nx) complex sources.
+        f: frequency [Hz].
+        adjoint: solve the conjugated (adjoint) equation, matching the
+            reference's sign flip (solveHelmholtzBornSeries.m:10-14).
+        iter_cap: hard bound on the data-dependent iteration count.
+
+    Returns:
+        (wavefield (batch, ny, nx) complex64, iterations int32)
+    """
+    greens, v_pot, gamma, n_heur = born_operator(vel, f, grid, pml, adjoint,
+                                                 n_order)
+    n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
+    src = jnp.asarray(src, jnp.complex64)
 
     def body(i, u):
         return u - gamma * (u - greens(v_pot * u - src))
@@ -116,3 +130,34 @@ def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
     u0 = jnp.zeros_like(src)
     u = jax.lax.fori_loop(0, n_iter, body, u0)
     return u, n_iter
+
+
+def born_gmres_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
+                     adjoint: bool = False, n_order: int = 9,
+                     tol: float = 1e-5, maxiter: int = 600,
+                     restart: int = 16):
+    """Krylov-accelerated convergent Born series.
+
+    The CBS fixed point u <- u - gamma (u - G(Vu - src)) is a Richardson
+    iteration on the linear system A u = b with A = gamma (I - G V) and
+    b = -gamma G src, whose spectrum lies in the unit disk centered at 1
+    (the CBS convergence proof). Restarted GMRES on the same operator
+    minimizes over the Krylov space instead of taking Richardson steps —
+    typically 2-5x fewer FFT pairs for the same accuracy, and monotone in
+    f32. Each matvec is exactly one FFT pair (same cost as one CBS
+    iteration).
+
+    Returns (wavefield, matvecs int32).
+    """
+    from .krylov import gmres
+
+    greens, v_pot, gamma, _ = born_operator(vel, f, grid, pml, adjoint,
+                                            n_order)
+    src = jnp.asarray(src, jnp.complex64)
+
+    def a_op(u):
+        return gamma * (u - greens(v_pot * u))
+
+    b = -gamma * greens(src)
+    res = gmres(a_op, b, tol=tol, maxiter=maxiter, restart=restart)
+    return res.x, res.iterations

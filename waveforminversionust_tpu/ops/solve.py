@@ -37,7 +37,7 @@ from ..models.grid import Grid2D
 from . import apply
 from .banded import BandedFactor, banded_factor, banded_solve
 from .krylov import gmres
-from .born import born_series_solve
+from .born import born_gmres_solve, born_series_solve
 from .preconditioner import PrecondParams, make_fft_preconditioner, shifted_k2
 from .stencil import (STENCIL_OFFSETS, boundary_mask, dirichlet_scale,
                       helmholtz_coefficients, stencil_params)
@@ -130,12 +130,22 @@ _fd_solve.defvjp(_fd_solve_fwd, _fd_solve_bwd)
 # Born path: continuous adjoint-state VJP
 # ---------------------------------------------------------------------------
 
+def _born_solve_impl(vel, rhs, f, grid, cfg, adjoint):
+    if cfg.born_krylov:
+        u, _ = born_gmres_solve(vel, rhs, f, grid, cfg.born_pml,
+                                adjoint=adjoint, tol=cfg.tol,
+                                maxiter=cfg.born_iter_cap,
+                                restart=cfg.born_restart)
+    else:
+        u, _ = born_series_solve(vel, rhs, f, grid, cfg.born_pml,
+                                 adjoint=adjoint, iter_cap=cfg.born_iter_cap,
+                                 iter_scale=cfg.born_iter_scale)
+    return u
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _born_solve(vel, rhs, f, grid: Grid2D, cfg: SolverConfig, adjoint: bool):
-    u, _ = born_series_solve(vel, rhs, f, grid, cfg.born_pml, adjoint=adjoint,
-                             iter_cap=cfg.born_iter_cap,
-                             iter_scale=cfg.born_iter_scale)
-    return u
+    return _born_solve_impl(vel, rhs, f, grid, cfg, adjoint)
 
 
 def _born_solve_fwd(vel, rhs, f, grid, cfg, adjoint):
@@ -210,9 +220,7 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
         src = src[None]
 
     if cfg.method == SolverMethod.BORN:
-        u, _ = born_series_solve(op.vel, src, op.f, grid, cfg.born_pml,
-                                 adjoint=adjoint, iter_cap=cfg.born_iter_cap,
-                                 iter_scale=cfg.born_iter_scale)
+        u = _born_solve_impl(op.vel, src, op.f, grid, cfg, adjoint)
     elif cfg.method == SolverMethod.BANDED:
         rhs = src if adjoint else src * op.d_map
         u = _banded_solve_refined(op.factor, rhs, cfg, adjoint=adjoint)
