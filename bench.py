@@ -53,23 +53,29 @@ def main():
     grid = default_inversion_grid()
     acq = build_ring_acquisition(grid, AcquisitionConfig(),
                                  x_elem=ds.x_circ, y_elem=ds.y_circ)
-    data = build_fwi_data(acq, ds.rec_data, ds.f)
-    solver = SolverConfig()
+    # Split-complex engine on TPU (the targeted runtime supports complex64
+    # only for a few compute ops; see waveforminversionust_tpu.ops.cpx).
+    split = jax.devices()[0].platform != "cpu"
+    data = build_fwi_data(acq, ds.rec_data, ds.f, split=split)
+    solver = SolverConfig(split_complex=split)
     fwi = FWIConfig(num_iterations=N_ITER)
     vel0 = jnp.full(grid.shape, fwi.c_init, jnp.float32)
 
-    # Warm-up / compile (1 iteration program compiles the same step body,
-    # but the 10-iteration scan is its own program — compile both).
-    r = nonlinear_cg(vel0, data, grid, solver, fwi, num_iterations=N_ITER)
-    jax.block_until_ready(r.velocity)
+    # Warm-up / compile. NOTE: on the axon runtime block_until_ready does not
+    # actually synchronize, so every timing span ends with a device_get of a
+    # small real array, which does.
+    def run_and_sync():
+        r = nonlinear_cg(vel0, data, grid, solver, fwi, num_iterations=N_ITER)
+        loss = np.asarray(jax.device_get(r.metrics.loss))
+        return r, loss
+
+    run_and_sync()
 
     t0 = time.perf_counter()
-    r = nonlinear_cg(vel0, data, grid, solver, fwi, num_iterations=N_ITER)
-    jax.block_until_ready(r.velocity)
+    r, loss = run_and_sync()
     elapsed = time.perf_counter() - t0
 
     sec_per_iter = elapsed / N_ITER
-    loss = np.asarray(jax.device_get(r.metrics.loss))
     assert np.all(np.isfinite(loss)) and loss[-1] < loss[0], loss
 
     print(json.dumps({

@@ -1,0 +1,111 @@
+"""Split-complex engine vs the native-complex oracle implementations."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from waveforminversionust_tpu import Grid2D, PMLConfig
+from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+from waveforminversionust_tpu.ops import apply, cpx
+from waveforminversionust_tpu.ops.banded import banded_factor, banded_solve
+from waveforminversionust_tpu.ops.split_engine import (banded_factor_cpx,
+                                                       banded_solve_cpx,
+                                                       h_apply_adjoint_cpx,
+                                                       h_apply_cpx,
+                                                       helmholtz_coefficients_cpx)
+from waveforminversionust_tpu.ops.stencil import helmholtz_coefficients
+
+F = 350e3
+PML = PMLConfig(l_pml=2.4e-3)
+
+
+def _setup(rng, nxh=12e-3):
+    grid = Grid2D.centered(nxh, 0.8e-3)
+    vel = smooth_blob_phantom(grid, radius=4e-3, dc=40)
+    shape = (3,) + grid.shape
+    u = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    return grid, vel, u
+
+
+def test_coefficients_match(rng):
+    grid, vel, _ = _setup(rng)
+    native = np.asarray(helmholtz_coefficients(jnp.array(vel), grid,
+                                               jnp.float32(F), PML))
+    split = cpx.to_numpy(helmholtz_coefficients_cpx(vel, grid,
+                                                    jnp.float32(F), PML))
+    np.testing.assert_allclose(split, native, rtol=0,
+                               atol=2e-6 * np.abs(native).max())
+
+
+def test_apply_matches(rng):
+    grid, vel, u = _setup(rng)
+    coeffs = helmholtz_coefficients(jnp.array(vel), grid, jnp.float32(F), PML)
+    coeffs_s = helmholtz_coefficients_cpx(vel, grid, jnp.float32(F), PML)
+    ref = np.asarray(apply.h_apply(coeffs, jnp.array(u)))
+    out = cpx.to_numpy(h_apply_cpx(coeffs_s, cpx.of(u)))
+    np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())
+    refa = np.asarray(apply.h_apply_adjoint(coeffs, jnp.array(u)))
+    outa = cpx.to_numpy(h_apply_adjoint_cpx(coeffs_s, cpx.of(u)))
+    np.testing.assert_allclose(outa, refa, atol=2e-5 * np.abs(refa).max())
+
+
+def test_banded_matches(rng):
+    grid, vel, _ = _setup(rng)
+    ny, nx = grid.shape
+    src = np.zeros((2, ny, nx), np.complex64)
+    src[0, ny // 2, nx // 2] = 1.0
+    src[1, ny // 3, 2 * nx // 3] = 1.0 - 0.5j
+
+    coeffs = helmholtz_coefficients(jnp.array(vel), grid, jnp.float32(F), PML)
+    fac = banded_factor(coeffs)
+    x_ref = np.asarray(banded_solve(fac, jnp.array(src)))
+    xa_ref = np.asarray(banded_solve(fac, jnp.array(src), adjoint=True))
+
+    coeffs_s = helmholtz_coefficients_cpx(vel, grid, jnp.float32(F), PML)
+    fac_s = banded_factor_cpx(coeffs_s)
+    x = cpx.to_numpy(banded_solve_cpx(fac_s, cpx.of(src)))
+    xa = cpx.to_numpy(banded_solve_cpx(fac_s, cpx.of(src), adjoint=True))
+
+    assert np.abs(x - x_ref).max() < 2e-5 * np.abs(x_ref).max()
+    assert np.abs(xa - xa_ref).max() < 2e-5 * np.abs(xa_ref).max()
+    # residual of the split solution against the split operator
+    r = cpx.to_numpy(h_apply_cpx(coeffs_s, cpx.of(x.astype(np.complex64)))) - src
+    rel = np.linalg.norm(r.reshape(2, -1), axis=1) / np.linalg.norm(src.reshape(2, -1), axis=1)
+    assert rel.max() < 1e-4
+
+
+def test_split_cg_matches_native():
+    """The full CG inversion in split-complex mode equals the native path."""
+    import dataclasses
+    from waveforminversionust_tpu import (AcquisitionConfig, FWIConfig,
+                                          SolverConfig)
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+    from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+
+    f = 200e3
+    acq_cfg = AcquisitionConfig(num_elements=24, radius=9e-3,
+                                num_excluded_each_side=2)
+    solver = SolverConfig(pml=PMLConfig(l_pml=2.4e-3))
+    grid = Grid2D.centered(12e-3, 0.8e-3)
+    vel_true = smooth_blob_phantom(grid, radius=4e-3, dc=30)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=f, seed=0,
+                                 solver=solver)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    vel0 = jnp.full(grid.shape, 1500.0, jnp.float32)
+    fwi = FWIConfig(num_iterations=3)
+
+    data_n = build_fwi_data(acq, ds.rec_data, f)
+    res_n = nonlinear_cg(vel0, data_n, grid, solver, fwi)
+
+    solver_s = dataclasses.replace(solver, split_complex=True)
+    data_s = build_fwi_data(acq, ds.rec_data, f, split=True)
+    res_s = nonlinear_cg(vel0, data_s, grid, solver_s, fwi)
+
+    np.testing.assert_allclose(np.asarray(res_s.metrics.loss),
+                               np.asarray(res_n.metrics.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_s.velocity),
+                               np.asarray(res_n.velocity), atol=0.05)
+    # split result fields come back as ComplexParts of matching shape
+    assert res_s.wavefield.real.shape == (24,) + grid.shape

@@ -99,6 +99,8 @@ class SolverConfig:
     """
 
     method: SolverMethod = SolverMethod.BANDED
+    split_complex: bool = False  # carry complex data as (re, im) f32 pairs;
+    # required on TPU runtimes without full complex64 support (see ops.cpx)
     tol: float = 1e-5
     maxiter: int = 1000
     shift_beta: float = 0.5

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.acquisition import RingAcquisition
+from ..ops import cpx
+from ..ops.cpx import Cpx
 
 
 class FWIData(NamedTuple):
@@ -41,9 +43,15 @@ class FWIData(NamedTuple):
     f: jnp.ndarray
 
 
-def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f) -> FWIData:
+def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f,
+                   split: bool = False) -> FWIData:
     """Assemble FWIData from an acquisition and a recorded (ntx_total, num_elements)
-    data matrix indexed [tx, rx] (reference layout: SimulateData.m:55-59)."""
+    data matrix indexed [tx, rx] (reference layout: SimulateData.m:55-59).
+
+    ``split=True`` stores the complex arrays as :class:`~..ops.cpx.Cpx`
+    float-pair pytrees (required on TPU runtimes without full complex64
+    support); every function below is polymorphic over both forms.
+    """
     rec_data = np.asarray(rec_data)
     if rec_data.shape[0] == acq.num_tx:
         rec_rows = rec_data  # already downselected to tx_include rows
@@ -51,9 +59,16 @@ def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f) -> FWIData:
         assert rec_data.shape[0] == acq.num_elements, rec_data.shape
         rec_rows = rec_data[acq.tx_include]  # reference: fwi_script.py:36
     rec = np.take_along_axis(rec_rows, acq.rx_indices, axis=1)
+    src_np = acq.source_fields()
+    if split:
+        src = cpx.of(src_np)
+        rec_d = cpx.of(rec.astype(np.complex64))
+    else:
+        src = jnp.asarray(src_np, jnp.complex64)
+        rec_d = jnp.asarray(rec, jnp.complex64)
     return FWIData(
-        src=jnp.asarray(acq.source_fields(), jnp.complex64),
-        rec_obs=jnp.asarray(rec, jnp.complex64),
+        src=src,
+        rec_obs=rec_d,
         rx_y=jnp.asarray(acq.rx_y, jnp.int32),
         rx_x=jnp.asarray(acq.rx_x, jnp.int32),
         f=jnp.asarray(f, jnp.float32),
@@ -63,15 +78,22 @@ def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f) -> FWIData:
 def sample_receivers(fields, rx_y, rx_x):
     """Gather wavefields at receiver pixels: (ntx, ny, nx) -> (ntx, n_active)."""
     ntx = fields.shape[0]
-    return fields[jnp.arange(ntx)[:, None], rx_y, rx_x]
+    idx = (jnp.arange(ntx)[:, None], rx_y, rx_x)
+    if isinstance(fields, Cpx):
+        return fields[idx]
+    return fields[idx]
 
 
 def scatter_to_fields(values, rx_y, rx_x, shape):
     """Scatter (ntx, n_active) values onto (ntx, ny, nx) zero fields — the
     adjoint-source builder (reference: nonlinearcg.py:108-116)."""
     ntx = values.shape[0]
+    idx = (jnp.arange(ntx)[:, None], rx_y, rx_x)
+    if isinstance(values, Cpx):
+        zero = cpx.zeros((ntx,) + tuple(shape))
+        return cpx.set_at(zero, idx, values)
     out = jnp.zeros((ntx,) + tuple(shape), values.dtype)
-    return out.at[jnp.arange(ntx)[:, None], rx_y, rx_x].set(values)
+    return out.at[idx].set(values)
 
 
 def estimate_source_strengths(rec_sim, rec_obs):
@@ -79,6 +101,10 @@ def estimate_source_strengths(rec_sim, rec_obs):
     <u_sim, d>/<u_sim, u_sim> (reference: nonlinearcg.py:14-20,
     FrequencyDomainFWI.m:82-93). Handles the unknown per-element complex
     amplitude the synthesizer injects (reference: SimulateData.m:26)."""
+    if isinstance(rec_sim, Cpx):
+        num = cpx.vdot(rec_sim, rec_obs, axis=1)
+        den = jnp.maximum(cpx.abs2(rec_sim).sum(axis=1), 1e-38)
+        return Cpx(num.re / den, num.im / den)
     num = jnp.sum(jnp.conj(rec_sim) * rec_obs, axis=1)
     den = jnp.sum(jnp.conj(rec_sim) * rec_sim, axis=1)
     return num / jnp.where(den == 0, 1, den)
@@ -88,6 +114,8 @@ def misfit(rec_sim, rec_obs):
     """0.5 sum |u_sim - d|^2 over active receivers
     (reference: fwi_loss_function.py:102)."""
     d = rec_sim - rec_obs
+    if isinstance(d, Cpx):
+        return 0.5 * jnp.sum(cpx.abs2(d))
     return 0.5 * jnp.sum(jnp.real(jnp.conj(d) * d))
 
 
@@ -95,4 +123,7 @@ def virtual_source(slowness, wavefields, f):
     """VIRT = 2 (2 pi f)^2 * slowness * u — the dH/d(slowness) action on u
     (reference: nonlinearcg.py:120, FrequencyDomainFWI.m:110-111)."""
     omega2 = (2 * jnp.pi * f) ** 2
-    return (2 * omega2 * slowness)[None].astype(jnp.complex64) * wavefields
+    factor = (2 * omega2 * slowness)[None]
+    if isinstance(wavefields, Cpx):
+        return cpx.scale(wavefields, factor)
+    return factor.astype(jnp.complex64) * wavefields

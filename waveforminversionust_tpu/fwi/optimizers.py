@@ -34,6 +34,8 @@ import jax.numpy as jnp
 
 from ..config import FWIConfig, MomentumFormula, SolverConfig, StepSizeFormula
 from ..models.grid import Grid2D
+from ..ops import cpx
+from ..ops.cpx import Cpx
 from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
 from ..utils.host import ComplexParts
 from .objective import (FWIData, estimate_source_strengths, misfit,
@@ -93,13 +95,20 @@ def _momentum(formula: MomentumFormula, it, grad, grad_prev, search_dir,
     return jnp.where(it == 0, 0.0, beta)
 
 
+def _re_inner(a, b):
+    """sum Re(conj(a) * b), polymorphic over complex / Cpx."""
+    if isinstance(a, Cpx):
+        return jnp.sum(a.re * b.re + a.im * b.im)
+    return jnp.real(jnp.sum(jnp.conj(a) * b))
+
+
 def _step_size(formula: StepSizeFormula, drec, rec_obs, rec_sim, grad,
                search_dir, eps: float):
     """Linearized line-search step (reference: FrequencyDomainFWI.m:149-172,
     nonlinearcg.py:22-32)."""
-    den = jnp.sum(jnp.real(jnp.conj(drec) * drec)) + eps
+    den = _re_inner(drec, drec) + eps
     if formula == StepSizeFormula.RESIDUAL:
-        num = jnp.real(jnp.sum(jnp.conj(drec) * (rec_obs - rec_sim)))
+        num = _re_inner(drec, rec_obs - rec_sim)
         return num / den
     if formula == StepSizeFormula.GRADIENT:
         return _dot(grad, grad) / den
@@ -127,8 +136,12 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # (2) source-strength estimation (reference: nonlinearcg.py:79-89)
         if fwi.estimate_source_strength:
             s_est = estimate_source_strengths(rec_sim, data.rec_obs)
-            wv = wv * s_est[:, None, None]
-            rec_sim = rec_sim * s_est[:, None]
+            if isinstance(wv, Cpx):
+                wv = cpx.mul(wv, s_est[:, None, None])
+                rec_sim = cpx.mul(rec_sim, s_est[:, None])
+            else:
+                wv = wv * s_est[:, None, None]
+                rec_sim = rec_sim * s_est[:, None]
 
         residual = rec_sim - data.rec_obs
         loss = misfit(rec_sim, data.rec_obs)
@@ -141,7 +154,10 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 
         # (4) adjoint-state gradient (reference: nonlinearcg.py:118-127)
         virt = virtual_source(slow, wv, data.f)
-        grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
+        if isinstance(virt, Cpx):
+            grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
+        else:
+            grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
 
         # (5) momentum & search direction (reference: nonlinearcg.py:129-138)
         beta = _momentum(fwi.momentum, it, grad, gprev, sd, fwi.eps_stabilizer)
@@ -149,8 +165,11 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 
         # (6) forward-project the search direction
         # (reference: nonlinearcg.py:141-156)
-        pert = helmholtz_operator_solve(
-            op, -virt * sd_new[None].astype(jnp.complex64), grid, solver)
+        if isinstance(virt, Cpx):
+            pert_src = cpx.scale(virt, -sd_new[None])
+        else:
+            pert_src = -virt * sd_new[None].astype(jnp.complex64)
+        pert = helmholtz_operator_solve(op, pert_src, grid, solver)
         drec = sample_receivers(pert, data.rx_y, data.rx_x)
 
         # (7) step size & slowness update (reference: nonlinearcg.py:159,
@@ -200,21 +219,29 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
     ntx = data.src.shape[0]
+    split = isinstance(data.src, Cpx)
+    zfield = (cpx.zeros((ntx,) + grid.shape) if split
+              else jnp.zeros((ntx,) + grid.shape, jnp.complex64))
     state = CGState(
         velocity=vel0,
         slowness=1.0 / vel0,
         search_dir=jnp.zeros(grid.shape, jnp.float32),
         grad_prev=jnp.zeros(grid.shape, jnp.float32),
-        wavefield=jnp.zeros((ntx,) + grid.shape, jnp.complex64),
-        adjoint_field=jnp.zeros((ntx,) + grid.shape, jnp.complex64),
+        wavefield=zfield,
+        adjoint_field=zfield,
     )
     step = make_cg_step(data, grid, solver, fwi)
     final, metrics = jax.lax.scan(step, state, jnp.arange(n_iter))
+    def _parts(fld):
+        if isinstance(fld, Cpx):
+            return ComplexParts(fld.re, fld.im)
+        return ComplexParts.of(fld)
+
     return CGResult(
         velocity=final.velocity,
         search_dir=final.search_dir,
         gradient=final.grad_prev,
-        adjoint_field=ComplexParts.of(final.adjoint_field),
-        wavefield=ComplexParts.of(final.wavefield),
+        adjoint_field=_parts(final.adjoint_field),
+        wavefield=_parts(final.wavefield),
         metrics=metrics,
     )

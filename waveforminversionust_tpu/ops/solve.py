@@ -38,9 +38,14 @@ from . import apply
 from .banded import BandedFactor, banded_factor, banded_solve
 from .krylov import gmres
 from .born import born_gmres_solve, born_series_solve
+from .cpx import Cpx
 from .preconditioner import PrecondParams, make_fft_preconditioner, shifted_k2
+from .split_engine import (BandedFactorCpx, banded_factor_cpx,
+                           banded_solve_cpx, h_apply_adjoint_cpx, h_apply_cpx,
+                           helmholtz_coefficients_cpx)
 from .stencil import (STENCIL_OFFSETS, boundary_mask, dirichlet_scale,
                       helmholtz_coefficients, stencil_params)
+from . import cpx as cpxlib
 
 
 class SolveInfo(NamedTuple):
@@ -194,11 +199,24 @@ class HelmholtzOperator(NamedTuple):
 
 def make_helmholtz_operator(vel, f, grid: Grid2D,
                             cfg: SolverConfig = SolverConfig()) -> HelmholtzOperator:
-    """Build (and for the banded method, factorize) the operator once."""
-    coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False)
-    factor = banded_factor(coeffs) if cfg.method == SolverMethod.BANDED else None
+    """Build (and for the banded method, factorize) the operator once.
+
+    With ``cfg.split_complex`` the planes and factorization are split-complex
+    (Cpx float pairs; see ops.cpx) — required on TPU runtimes without full
+    complex64 support. Only the banded and Born methods support split mode.
+    """
     scale = dirichlet_scale(grid)
-    d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.complex64)
+    d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
+    if cfg.split_complex:
+        if cfg.method == SolverMethod.GMRES:
+            raise NotImplementedError("split_complex GMRES-on-FD not available")
+        coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil)
+        factor = (banded_factor_cpx(coeffs)
+                  if cfg.method == SolverMethod.BANDED else None)
+        precond = None
+    else:
+        coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False)
+        factor = banded_factor(coeffs) if cfg.method == SolverMethod.BANDED else None
     return HelmholtzOperator(vel=jnp.asarray(vel, jnp.float32),
                              f=jnp.asarray(f, jnp.float32),
                              coeffs=coeffs, precond=precond, factor=factor,
@@ -214,6 +232,8 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
     reference's CG loop); use :func:`solve_helmholtz` when autodiff through
     the solve is needed.
     """
+    if cfg.split_complex:
+        return _operator_solve_split(op, src, grid, cfg, adjoint)
     src = jnp.asarray(src, jnp.complex64)
     single = src.ndim == 2
     if single:
@@ -236,6 +256,36 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
             u, _ = _fd_solve_impl(op.coeffs, src * op.d_map, op.precond, grid,
                                   cfg, adjoint_precond=False, x0=x0)
 
+    if single:
+        u = u[0]
+    return u
+
+
+def _banded_solve_refined_cpx(factor: BandedFactorCpx, rhs: Cpx,
+                              cfg: SolverConfig, adjoint: bool) -> Cpx:
+    opfn = (lambda v: h_apply_adjoint_cpx(factor.coeffs, v)) if adjoint \
+        else (lambda v: h_apply_cpx(factor.coeffs, v))
+    x = banded_solve_cpx(factor, rhs, adjoint=adjoint)
+    for _ in range(cfg.refine):
+        r = rhs - opfn(x)
+        x = x + banded_solve_cpx(factor, r, adjoint=adjoint)
+    return x
+
+
+def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
+                          cfg: SolverConfig, adjoint: bool) -> Cpx:
+    """Split-complex operator solve (banded method)."""
+    src = cpxlib.of(src)
+    single = src.ndim == 2
+    if single:
+        src = Cpx(src.re[None], src.im[None])
+    if cfg.method != SolverMethod.BANDED:
+        raise NotImplementedError(
+            "split_complex operator solve supports the banded method")
+    rhs = src if adjoint else cpxlib.scale(src, op.d_map)
+    u = _banded_solve_refined_cpx(op.factor, rhs, cfg, adjoint=adjoint)
+    if adjoint:
+        u = cpxlib.scale(u, op.d_map)
     if single:
         u = u[0]
     return u

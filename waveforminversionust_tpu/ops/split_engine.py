@@ -1,0 +1,309 @@
+"""Split-complex implementations of the core solver path.
+
+Mirrors :mod:`.stencil` / :mod:`.apply` / :mod:`.banded` with all complex
+data carried as :class:`~.cpx.Cpx` float32 pairs — the representation the
+targeted TPU runtime actually supports (its complex64 lowering covers only a
+few compute ops; see :mod:`.cpx`). Every function here is numerically
+equivalent to its native-complex counterpart (verified in
+tests/test_split_engine.py); the native versions remain the CPU/test oracle.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PMLConfig, SolverConfig, StencilConfig
+from ..models.grid import Grid2D
+from . import cpx
+from .cpx import Cpx
+from .stencil import (STENCIL_OFFSETS, boundary_mask, dirichlet_scale,
+                      stencil_params)
+
+
+# ---------------------------------------------------------------------------
+# Coefficients (split form of stencil.helmholtz_coefficients)
+# ---------------------------------------------------------------------------
+
+def pml_stretch_fields_cpx(grid: Grid2D, f, pml: PMLConfig):
+    """Split-complex PML fields (cf. stencil.pml_stretch_fields;
+    reference: solve_helmholtz.py:30-60)."""
+    xmin, xmax, ymin, ymax = grid.extent
+    xe = jnp.linspace(xmin, xmax, 2 * (grid.nx - 1) + 1, dtype=jnp.float32)
+    ye = jnp.linspace(ymin, ymax, 2 * (grid.ny - 1) + 1, dtype=jnp.float32)
+    Xe, Ye = jnp.meshgrid(xe, ye, indexing="xy")
+
+    xctr, xspan = (xmin + xmax) / 2, (xmax - xmin) / 2
+    yctr, yspan = (ymin + ymax) / 2, (ymax - ymin) / 2
+    L = pml.l_pml
+    sx = 2 * jnp.pi * pml.a0 * f * (jnp.maximum(jnp.abs(Xe - xctr) - xspan + L, 0.0) / L) ** 2
+    sy = 2 * jnp.pi * pml.a0 * f * (jnp.maximum(jnp.abs(Ye - yctr) - yspan + L, 0.0) / L) ** 2
+    sgn = jnp.sign(jnp.float32(pml.sign_convention))
+    ex = Cpx(jnp.ones_like(sx), sx * sgn / (2 * jnp.pi * f))
+    ey = Cpx(jnp.ones_like(sy), sy * sgn / (2 * jnp.pi * f))
+
+    A = cpx.div(ey, ex)[::2, 1::2]
+    B = cpx.div(ex, ey)[1::2, ::2]
+    C = cpx.mul(ex, ey)[::2, ::2]
+    return A, B, C
+
+
+def helmholtz_coefficients_cpx(vel, grid: Grid2D, f,
+                               pml: PMLConfig = PMLConfig(),
+                               stencil: StencilConfig = StencilConfig(),
+                               dirichlet_value: float | None = None) -> Cpx:
+    """Split-complex 9 coefficient planes (cf. stencil.helmholtz_coefficients;
+    entries follow solveHelmholtz.m:53-126)."""
+    ny, nx = grid.ny, grid.nx
+    h = jnp.float32(grid.h)
+    g = jnp.float32(grid.aspect)
+    vel = jnp.asarray(vel, jnp.float32)
+    k2 = (2 * jnp.pi * f / vel) ** 2  # real
+
+    A, B, C = pml_stretch_fields_cpx(grid, f, pml)
+    b, d, e = stencil_params(jnp.min(vel), jnp.max(vel), f, h, g, stencil)
+    b = jnp.float32(b)
+    d = jnp.asarray(d, jnp.float32)
+    e = jnp.asarray(e, jnp.float32)
+    g2 = g * g
+    h2 = h * h
+
+    def s(arr, ys, xs):
+        return jax.lax.slice(arr, (ys, xs), (ys + ny - 2, xs + nx - 2))
+
+    def sc(z: Cpx, ys, xs) -> Cpx:
+        return Cpx(s(z.re, ys, xs), s(z.im, ys, xs))
+
+    A_xm, A_xc = sc(A, 1, 0), sc(A, 1, 1)
+    A_ym_xm, A_ym_xc = sc(A, 0, 0), sc(A, 0, 1)
+    A_yp_xm, A_yp_xc = sc(A, 2, 0), sc(A, 2, 1)
+    B_ym, B_yc = sc(B, 0, 1), sc(B, 1, 1)
+    B_ym_xm, B_ym_xp = sc(B, 0, 0), sc(B, 0, 2)
+    B_yc_xm, B_yc_xp = sc(B, 1, 0), sc(B, 1, 2)
+
+    Ck2 = cpx.scale(C, k2)
+    Ck2_c, Ck2_l, Ck2_r = sc(Ck2, 1, 1), sc(Ck2, 1, 0), sc(Ck2, 1, 2)
+    Ck2_d, Ck2_u = sc(Ck2, 0, 1), sc(Ck2, 2, 1)
+    Ck2_dl, Ck2_dr = sc(Ck2, 0, 0), sc(Ck2, 0, 2)
+    Ck2_ul, Ck2_ur = sc(Ck2, 2, 0), sc(Ck2, 2, 2)
+
+    half = (1 - b) / 2
+
+    val_c = cpx.scale(Ck2_c, 1 - d - e) - cpx.scale(
+        A_xc + A_xm + cpx.scale(B_yc + B_ym, 1 / g2), b / h2)
+    val_l = cpx.scale(cpx.scale(A_xm, b) - cpx.scale(B_yc_xm + B_ym_xm, half / g2), 1 / h2) \
+        + cpx.scale(Ck2_l, d / 4)
+    val_r = cpx.scale(cpx.scale(A_xc, b) - cpx.scale(B_yc_xp + B_ym_xp, half / g2), 1 / h2) \
+        + cpx.scale(Ck2_r, d / 4)
+    val_d = cpx.scale(cpx.scale(B_ym, b / g2) - cpx.scale(A_ym_xc + A_ym_xm, half), 1 / h2) \
+        + cpx.scale(Ck2_d, d / 4)
+    val_u = cpx.scale(cpx.scale(B_yc, b / g2) - cpx.scale(A_yp_xc + A_yp_xm, half), 1 / h2) \
+        + cpx.scale(Ck2_u, d / 4)
+    val_dl = cpx.scale(A_ym_xm + cpx.scale(B_ym_xm, 1 / g2), half / h2) + cpx.scale(Ck2_dl, e / 4)
+    val_dr = cpx.scale(A_ym_xc + cpx.scale(B_ym_xp, 1 / g2), half / h2) + cpx.scale(Ck2_dr, e / 4)
+    val_ul = cpx.scale(A_yp_xm + cpx.scale(B_yc_xm, 1 / g2), half / h2) + cpx.scale(Ck2_ul, e / 4)
+    val_ur = cpx.scale(A_yp_xc + cpx.scale(B_yc_xp, 1 / g2), half / h2) + cpx.scale(Ck2_ur, e / 4)
+
+    interior = cpx.stack([val_c, val_l, val_r, val_d, val_u,
+                          val_dl, val_dr, val_ul, val_ur])
+
+    coeffs = cpx.zeros((9, ny, nx))
+    coeffs = Cpx(coeffs.re.at[:, 1:-1, 1:-1].set(interior.re),
+                 coeffs.im.at[:, 1:-1, 1:-1].set(interior.im))
+    if dirichlet_value is None:
+        dirichlet_value = dirichlet_scale(grid)
+    border = boundary_mask(grid) * dirichlet_value
+    coeffs = Cpx(coeffs.re.at[0].add(border), coeffs.im)
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# Operator application (split form of apply.h_apply)
+# ---------------------------------------------------------------------------
+
+def _shift_parts(u: Cpx, dy: int, dx: int) -> Cpx:
+    from .apply import _shift
+    return Cpx(_shift(u.re, dy, dx), _shift(u.im, dy, dx))
+
+
+def h_apply_cpx(coeffs: Cpx, u: Cpx) -> Cpx:
+    out = cpx.mul(coeffs[0], u)
+    for s in range(1, 9):
+        dy, dx = STENCIL_OFFSETS[s]
+        out = out + cpx.mul(coeffs[s], _shift_parts(u, dy, dx))
+    return out
+
+
+def h_apply_adjoint_cpx(coeffs: Cpx, u: Cpx) -> Cpx:
+    out = cpx.mul(coeffs[0].conj(), u)
+    for s in range(1, 9):
+        dy, dx = STENCIL_OFFSETS[s]
+        out = out + _shift_parts(cpx.mul(coeffs[s].conj(), u), -dy, -dx)
+    return out
+
+
+def h_apply_transpose_cpx(coeffs: Cpx, u: Cpx) -> Cpx:
+    out = cpx.mul(coeffs[0], u)
+    for s in range(1, 9):
+        dy, dx = STENCIL_OFFSETS[s]
+        out = out + _shift_parts(cpx.mul(coeffs[s], u), -dy, -dx)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Banded direct solver (split form of banded.banded_factor/banded_solve)
+# ---------------------------------------------------------------------------
+
+class BandedFactorCpx(NamedTuple):
+    g: Cpx       # (ny, nx, nx) Schur-complement inverses
+    coeffs: Cpx  # (9, ny, nx)
+
+
+def _shift_x(v, d: int):
+    from .banded import _shift_x as _sx
+    return _sx(v, d)
+
+
+def _tri_matvec_cpx(main: Cpx, sub: Cpx, sup: Cpx, v: Cpx) -> Cpx:
+    return (cpx.mul(main, v)
+            + cpx.mul(sub, cpx.apply_parts(lambda p: _shift_x(p, -1), v))
+            + cpx.mul(sup, cpx.apply_parts(lambda p: _shift_x(p, 1), v)))
+
+
+def _tri_matvec_h_cpx(main: Cpx, sub: Cpx, sup: Cpx, v: Cpx) -> Cpx:
+    t1 = cpx.mul(main.conj(), v)
+    t2 = cpx.apply_parts(lambda p: _shift_x(p, 1), cpx.mul(sub.conj(), v))
+    t3 = cpx.apply_parts(lambda p: _shift_x(p, -1), cpx.mul(sup.conj(), v))
+    return t1 + t2 + t3
+
+
+def _tri_dense_cpx(main: Cpx, sub: Cpx, sup: Cpx) -> Cpx:
+    from .banded import _tri_dense
+    return Cpx(_tri_dense(main.re, sub.re, sup.re),
+               _tri_dense(main.im, sub.im, sup.im))
+
+
+def _col_op_gu_cpx(g: Cpx, main: Cpx, sub: Cpx, sup: Cpx) -> Cpx:
+    """(G U)[:, j] = G[:, j] main[j] + G[:, j+1] sub[j+1] + G[:, j-1] sup[j-1]."""
+    g_right = cpx.apply_parts(lambda p: jnp.pad(p[:, 1:], ((0, 0), (0, 1))), g)
+    g_left = cpx.apply_parts(lambda p: jnp.pad(p[:, :-1], ((0, 0), (1, 0))), g)
+    m = Cpx(main.re[None, :], main.im[None, :])
+    sb = cpx.apply_parts(lambda p: _shift_x(p, 1)[None, :], sub)
+    sp = cpx.apply_parts(lambda p: _shift_x(p, -1)[None, :], sup)
+    return cpx.mul(g, m) + cpx.mul(g_right, sb) + cpx.mul(g_left, sp)
+
+
+def _row_op_lm_cpx(main: Cpx, sub: Cpx, sup: Cpx, m: Cpx) -> Cpx:
+    m_up = cpx.apply_parts(lambda p: jnp.pad(p[:-1, :], ((1, 0), (0, 0))), m)
+    m_down = cpx.apply_parts(lambda p: jnp.pad(p[1:, :], ((0, 1), (0, 0))), m)
+    mn = Cpx(main.re[:, None], main.im[:, None])
+    sb = Cpx(sub.re[:, None], sub.im[:, None])
+    sp = Cpx(sup.re[:, None], sup.im[:, None])
+    return cpx.mul(mn, m) + cpx.mul(sb, m_up) + cpx.mul(sp, m_down)
+
+
+def banded_factor_cpx(coeffs: Cpx) -> BandedFactorCpx:
+    """Split-complex block-Thomas factorization (cf. banded.banded_factor)."""
+    c = coeffs
+    g0 = cpx.inv(_tri_dense_cpx(c[0, 0], c[1, 0], c[2, 0]))
+
+    xs = dict(
+        d_main=c[0, 1:], d_sub=c[1, 1:], d_sup=c[2, 1:],
+        l_main=c[3, 1:], l_sub=c[5, 1:], l_sup=c[6, 1:],
+        u_main_prev=c[4, :-1], u_sub_prev=c[7, :-1], u_sup_prev=c[8, :-1],
+    )
+
+    def step(g_prev, row):
+        gu = _col_op_gu_cpx(g_prev, row["u_main_prev"], row["u_sub_prev"],
+                            row["u_sup_prev"])
+        lgu = _row_op_lm_cpx(row["l_main"], row["l_sub"], row["l_sup"], gu)
+        s_mat = _tri_dense_cpx(row["d_main"], row["d_sub"], row["d_sup"]) - lgu
+        g = cpx.inv(s_mat)
+        return g, g
+
+    _, g_rest = jax.lax.scan(step, g0, xs)
+    g = cpx.concat([Cpx(g0.re[None], g0.im[None]), g_rest], 0)
+    return BandedFactorCpx(g=g, coeffs=coeffs)
+
+
+def _gemv(gmat: Cpx, v: Cpx) -> Cpx:
+    return cpx.einsum("ij,bj->bi", gmat, v)
+
+
+def _gemv_h(gmat: Cpx, v: Cpx) -> Cpx:
+    return cpx.einsum("ji,bj->bi", gmat.conj(), v)
+
+
+def banded_solve_cpx(factor: BandedFactorCpx, b: Cpx,
+                     adjoint: bool = False) -> Cpx:
+    """Split-complex sweeps (cf. banded.banded_solve)."""
+    c = factor.coeffs
+    g = factor.g
+    bt = cpx.apply_parts(lambda p: jnp.moveaxis(p, 1, 0), b)  # (ny, batch, nx)
+
+    if not adjoint:
+        def fwd(z_prev, row):
+            w = _gemv(row["g_prev"], z_prev)
+            z = row["b"] - _tri_matvec_cpx(
+                Cpx(row["l_main"].re[None], row["l_main"].im[None]),
+                Cpx(row["l_sub"].re[None], row["l_sub"].im[None]),
+                Cpx(row["l_sup"].re[None], row["l_sup"].im[None]), w)
+            return z, z
+
+        xs = dict(g_prev=g[:-1], b=bt[1:],
+                  l_main=c[3, 1:], l_sub=c[5, 1:], l_sup=c[6, 1:])
+        _, z_rest = jax.lax.scan(fwd, bt[0], xs)
+        z = cpx.concat([bt[:1], z_rest], 0)
+
+        x_last = _gemv(g[-1], z[-1])
+
+        def bwd(x_next, row):
+            rhs = row["z"] - _tri_matvec_cpx(
+                Cpx(row["u_main"].re[None], row["u_main"].im[None]),
+                Cpx(row["u_sub"].re[None], row["u_sub"].im[None]),
+                Cpx(row["u_sup"].re[None], row["u_sup"].im[None]), x_next)
+            x = _gemv(row["g"], rhs)
+            return x, x
+
+        xs = dict(g=g[:-1], z=z[:-1],
+                  u_main=c[4, :-1], u_sub=c[7, :-1], u_sup=c[8, :-1])
+        _, x_rest = jax.lax.scan(bwd, x_last, xs, reverse=True)
+        x = cpx.concat([x_rest, Cpx(x_last.re[None], x_last.im[None])], 0)
+    else:
+        w0 = _gemv_h(g[0], bt[0])
+
+        def fwd(w_prev, row):
+            rhs = row["b"] - _tri_matvec_h_cpx(
+                Cpx(row["u_main_prev"].re[None], row["u_main_prev"].im[None]),
+                Cpx(row["u_sub_prev"].re[None], row["u_sub_prev"].im[None]),
+                Cpx(row["u_sup_prev"].re[None], row["u_sup_prev"].im[None]),
+                w_prev)
+            w = _gemv_h(row["g"], rhs)
+            return w, w
+
+        xs = dict(g=g[1:], b=bt[1:],
+                  u_main_prev=c[4, :-1], u_sub_prev=c[7, :-1],
+                  u_sup_prev=c[8, :-1])
+        _, w_rest = jax.lax.scan(fwd, w0, xs)
+        w = cpx.concat([Cpx(w0.re[None], w0.im[None]), w_rest], 0)
+
+        x_last = w[-1]
+
+        def bwd(x_next, row):
+            v = _tri_matvec_h_cpx(
+                Cpx(row["l_main_next"].re[None], row["l_main_next"].im[None]),
+                Cpx(row["l_sub_next"].re[None], row["l_sub_next"].im[None]),
+                Cpx(row["l_sup_next"].re[None], row["l_sup_next"].im[None]),
+                x_next)
+            x = row["w"] - _gemv_h(row["g"], v)
+            return x, x
+
+        xs = dict(g=g[:-1], w=w[:-1],
+                  l_main_next=c[3, 1:], l_sub_next=c[5, 1:],
+                  l_sup_next=c[6, 1:])
+        _, x_rest = jax.lax.scan(bwd, x_last, xs, reverse=True)
+        x = cpx.concat([x_rest, Cpx(x_last.re[None], x_last.im[None])], 0)
+
+    return cpx.apply_parts(lambda p: jnp.moveaxis(p, 0, 1), x)
