@@ -63,6 +63,12 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     grid = grid or default_inversion_grid()
     acq = build_ring_acquisition(grid, acquisition,
                                  x_elem=dataset.x_circ, y_elem=dataset.y_circ)
+    # Auto-select the split-complex engine off-CPU (see ops.cpx), unless the
+    # caller pinned it explicitly in the solver config.
+    import jax as _jax
+    if (not solver.split_complex and method == "cg"
+            and _jax.devices()[0].platform != "cpu"):
+        solver = dataclasses.replace(solver, split_complex=True)
 
     if continuation is None or not continuation.frequencies:
         stages = [(float(dataset.f), int(fwi.num_iterations))]
@@ -74,7 +80,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     histories: list[CGMetrics] = []
     losses_lbfgs: list[np.ndarray] = []
     for stage_idx, (freq, n_iter) in enumerate(stages):
-        data = build_fwi_data(acq, dataset.rec_data, freq)
+        data = build_fwi_data(acq, dataset.rec_data, freq,
+                              split=solver.split_complex)
         if method == "cg":
             res = nonlinear_cg(vel, data, grid, solver, fwi,
                                num_iterations=n_iter)
