@@ -1,6 +1,7 @@
 """Split-complex engine vs the native-complex oracle implementations."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from waveforminversionust_tpu import Grid2D, PMLConfig
@@ -109,3 +110,132 @@ def test_split_cg_matches_native():
                                np.asarray(res_n.velocity), atol=0.05)
     # split result fields come back as ComplexParts of matching shape
     assert res_s.wavefield.real.shape == (24,) + grid.shape
+
+
+def test_split_born_matches_native(rng):
+    from waveforminversionust_tpu import SolverConfig
+    from waveforminversionust_tpu.ops.born import born_series_solve
+    from waveforminversionust_tpu.ops.split_engine import born_series_solve_cpx
+
+    grid = Grid2D.centered(24e-3, 0.8e-3)
+    vel = smooth_blob_phantom(grid, radius=8e-3, dc=40)
+    ny, nx = grid.shape
+    src = np.zeros((2, ny, nx), np.complex64)
+    src[0, ny // 2, nx // 2] = 1.0
+    src[1, ny // 3, nx // 3] = 0.5 - 1.0j
+    pml = SolverConfig().born_pml
+
+    for adjoint in (False, True):
+        ref, itn = born_series_solve(jnp.array(vel), jnp.array(src),
+                                     jnp.float32(350e3), grid, pml,
+                                     adjoint=adjoint)
+        out, its = born_series_solve_cpx(vel, cpx.of(src), jnp.float32(350e3),
+                                         grid, pml, adjoint=adjoint)
+        assert int(its) == int(itn)
+        ref = np.asarray(ref)
+        got = cpx.to_numpy(out)
+        assert np.abs(got - ref).max() < 5e-5 * np.abs(ref).max()
+
+
+def test_split_cg_born_method_runs():
+    import dataclasses
+    from waveforminversionust_tpu import (AcquisitionConfig, FWIConfig,
+                                          SolverConfig, SolverMethod)
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+    from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+
+    f = 200e3
+    acq_cfg = AcquisitionConfig(num_elements=16, radius=9e-3,
+                                num_excluded_each_side=2)
+    solver = SolverConfig(pml=PMLConfig(l_pml=2.4e-3),
+                          born_pml=PMLConfig(a0=20.0, l_pml=2.4e-3),
+                          method=SolverMethod.BORN, split_complex=True)
+    grid = Grid2D.centered(12e-3, 0.8e-3)
+    vel_true = smooth_blob_phantom(grid, radius=4e-3, dc=30)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=f, seed=0,
+                                 solver=SolverConfig(pml=PMLConfig(l_pml=2.4e-3)))
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, f, split=True)
+    res = nonlinear_cg(jnp.full(grid.shape, 1500.0, jnp.float32), data, grid,
+                       solver, FWIConfig(num_iterations=2))
+    losses = np.asarray(res.metrics.loss)
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_split_vjp_matches_native_gradient(rng):
+    """grad through the split differentiable solve == grad through the
+    native custom-VJP path (which is FD-validated)."""
+    import dataclasses
+    import jax
+    from waveforminversionust_tpu import SolverConfig
+    from waveforminversionust_tpu.ops.solve import solve_helmholtz
+
+    grid = Grid2D.centered(8e-3, 0.8e-3)
+    vel = smooth_blob_phantom(grid, radius=3e-3, dc=60)
+    ny, nx = grid.shape
+    src = np.zeros((2, ny, nx), np.complex64)
+    src[0, ny // 2, nx // 2 + 3] = 1.0
+    src[1, ny // 2 - 2, nx // 2] = 0.5 - 0.25j
+    cfg_n = SolverConfig(pml=PMLConfig(l_pml=2e-3), refine=2)
+    cfg_s = dataclasses.replace(cfg_n, split_complex=True)
+
+    w = np.cos(np.arange(ny * nx)).reshape(ny, nx).astype(np.float32)
+
+    def loss_native(v):
+        u, _ = solve_helmholtz(v, jnp.array(src), 350e3, grid, cfg_n)
+        return jnp.sum(jnp.abs(u) ** 2 * (1.0 + 0.3 * w))
+
+    def loss_split(v):
+        u, _ = solve_helmholtz(v, src, 350e3, grid, cfg_s)
+        return jnp.sum(cpx.abs2(u) * (1.0 + 0.3 * w))
+
+    l_n = float(loss_native(jnp.array(vel)))
+    l_s = float(loss_split(jnp.array(vel)))
+    assert l_s == pytest.approx(l_n, rel=1e-4)
+
+    g_n = np.asarray(jax.grad(loss_native)(jnp.array(vel)))
+    g_s = np.asarray(jax.grad(loss_split)(jnp.array(vel)))
+    np.testing.assert_allclose(g_s, g_n, atol=5e-4 * np.abs(g_n).max())
+
+    # adjoint-mode solve too
+    def loss_native_adj(v):
+        u, _ = solve_helmholtz(v, jnp.array(src), 350e3, grid, cfg_n,
+                               adjoint=True)
+        return jnp.sum(jnp.abs(u) ** 2)
+
+    def loss_split_adj(v):
+        u, _ = solve_helmholtz(v, src, 350e3, grid, cfg_s, adjoint=True)
+        return jnp.sum(cpx.abs2(u))
+
+    g_n = np.asarray(jax.grad(loss_native_adj)(jnp.array(vel)))
+    g_s = np.asarray(jax.grad(loss_split_adj)(jnp.array(vel)))
+    np.testing.assert_allclose(g_s, g_n, atol=5e-4 * np.abs(g_n).max())
+
+
+def test_split_lbfgs_runs():
+    import dataclasses
+    from waveforminversionust_tpu import (AcquisitionConfig, SolverConfig)
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.lbfgs import run_lbfgs
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+
+    f = 200e3
+    acq_cfg = AcquisitionConfig(num_elements=16, radius=9e-3,
+                                num_excluded_each_side=2)
+    solver = SolverConfig(pml=PMLConfig(l_pml=2.4e-3))
+    grid = Grid2D.centered(12e-3, 0.8e-3)
+    vel_true = smooth_blob_phantom(grid, radius=4e-3, dc=30)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=f, seed=0,
+                                 solver=solver)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    solver_s = dataclasses.replace(solver, split_complex=True)
+    data_s = build_fwi_data(acq, ds.rec_data, f, split=True)
+    res = run_lbfgs(jnp.full(grid.shape, 1500.0, jnp.float32), data_s, grid,
+                    solver_s, num_iterations=3)
+    losses = np.asarray(res.loss_history)
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]

@@ -24,7 +24,8 @@ import optax
 from ..config import FWIConfig, SolverConfig
 from ..models.grid import Grid2D
 from ..ops.solve import solve_helmholtz
-from .objective import FWIData, estimate_source_strengths, sample_receivers
+from .objective import (FWIData, estimate_source_strengths, misfit,
+                        sample_receivers)
 
 
 class LBFGSResult(NamedTuple):
@@ -47,8 +48,7 @@ def fwi_loss(slowness_flat, data: FWIData, grid: Grid2D,
     if estimate_sources:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)
         rec_sim = rec_sim * s_est[:, None]
-    d = rec_sim - data.rec_obs
-    return 0.5 * jnp.sum(jnp.real(jnp.conj(d) * d))
+    return misfit(rec_sim, data.rec_obs)
 
 
 @partial(jax.jit, static_argnames=("grid", "solver", "num_iterations",
@@ -67,7 +67,11 @@ def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
     """
     slow0 = (1.0 / jnp.asarray(vel_init, jnp.float32)).ravel()
     slow_ref = jnp.mean(slow0)
-    data_norm = 0.5 * jnp.sum(jnp.abs(data.rec_obs) ** 2)
+    from ..ops.cpx import Cpx, abs2
+    if isinstance(data.rec_obs, Cpx):
+        data_norm = 0.5 * jnp.sum(abs2(data.rec_obs))
+    else:
+        data_norm = 0.5 * jnp.sum(jnp.abs(data.rec_obs) ** 2)
 
     def loss_fn(p):
         raw = fwi_loss(p * slow_ref, data, grid, solver, estimate_sources)

@@ -60,9 +60,15 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             stage_metrics) after each stage (host-side; use for logging /
             checkpointing / plotting).
     """
+    # ``dataset`` may be a single RingDataset or a {frequency: RingDataset}
+    # mapping for broadband acquisitions (per-stage observed data). The
+    # reference schema is single-frequency; the mapping form feeds
+    # multi-frequency continuation with true per-frequency recordings.
+    per_freq = isinstance(dataset, dict)
+    ds0 = next(iter(dataset.values())) if per_freq else dataset
     grid = grid or default_inversion_grid()
     acq = build_ring_acquisition(grid, acquisition,
-                                 x_elem=dataset.x_circ, y_elem=dataset.y_circ)
+                                 x_elem=ds0.x_circ, y_elem=ds0.y_circ)
     # Auto-select the split-complex engine off-CPU (see ops.cpx), unless the
     # caller pinned it explicitly in the solver config.
     import jax as _jax
@@ -71,7 +77,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         solver = dataclasses.replace(solver, split_complex=True)
 
     if continuation is None or not continuation.frequencies:
-        stages = [(float(dataset.f), int(fwi.num_iterations))]
+        stages = [(float(ds0.f), int(fwi.num_iterations))]
     else:
         stages = [(float(f), int(continuation.iterations_per_frequency))
                   for f in continuation.frequencies]
@@ -80,7 +86,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     histories: list[CGMetrics] = []
     losses_lbfgs: list[np.ndarray] = []
     for stage_idx, (freq, n_iter) in enumerate(stages):
-        data = build_fwi_data(acq, dataset.rec_data, freq,
+        stage_ds = dataset[freq] if per_freq else dataset
+        data = build_fwi_data(acq, stage_ds.rec_data, freq,
                               split=solver.split_complex)
         if method == "cg":
             res = nonlinear_cg(vel, data, grid, solver, fwi,

@@ -40,9 +40,10 @@ from .krylov import gmres
 from .born import born_gmres_solve, born_series_solve
 from .cpx import Cpx
 from .preconditioner import PrecondParams, make_fft_preconditioner, shifted_k2
-from .split_engine import (BandedFactorCpx, banded_factor_cpx,
-                           banded_solve_cpx, h_apply_adjoint_cpx, h_apply_cpx,
-                           helmholtz_coefficients_cpx)
+from .split_engine import (BandedFactorCpx, adjoint_coefficients_cpx,
+                           banded_factor_cpx, banded_solve_cpx,
+                           born_series_solve_cpx, h_apply_adjoint_cpx,
+                           h_apply_cpx, helmholtz_coefficients_cpx)
 from .stencil import (STENCIL_OFFSETS, boundary_mask, dirichlet_scale,
                       helmholtz_coefficients, stencil_params)
 from . import cpx as cpxlib
@@ -129,6 +130,90 @@ def _fd_solve_bwd(grid, cfg, residuals, u_bar):
 
 
 _fd_solve.defvjp(_fd_solve_fwd, _fd_solve_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Split-complex FD path with custom VJP (for autodiff/L-BFGS on TPU)
+# ---------------------------------------------------------------------------
+
+def _shift_cpx(u: Cpx, dy, dx):
+    return Cpx(_shift(u.re, dy, dx), _shift(u.im, dy, dx))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fd_solve_cpx(coeffs: Cpx, rhs: Cpx, grid: Grid2D, cfg: SolverConfig):
+    factor = banded_factor_cpx(coeffs)
+    return _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
+
+
+def _fd_solve_cpx_fwd(coeffs, rhs, grid, cfg):
+    factor = banded_factor_cpx(coeffs)
+    u = _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
+    return u, (coeffs, u, factor)
+
+
+def _fd_solve_cpx_bwd(grid, cfg, residuals, u_bar):
+    """Split-representation VJP. With complex data as independent (re, im)
+    real pairs, the chain-rule works out to the HERMITIAN solve (conjugation
+    is explicit in the representation rather than deferred to grad):
+        w   = u_bar.re + i u_bar.im
+        lam = H^-H w;  rhs_bar = lam;  coeffs_bar[s] = -sum_b lam*conj(u<<s)
+    FD-validated in tests/test_split_engine.py."""
+    coeffs, u, factor = residuals
+    u_bar = Cpx(u_bar.re, u_bar.im)
+    lam = _banded_solve_refined_cpx(factor, u_bar, cfg, adjoint=True)
+    rhs_bar = lam
+    planes = []
+    for (dy, dx) in STENCIL_OFFSETS:
+        t = cpxlib.mul(lam, _shift_cpx(u, dy, dx).conj())
+        planes.append(Cpx(-jnp.sum(t.re, axis=0), -jnp.sum(t.im, axis=0)))
+    coeffs_bar = cpxlib.stack(planes)
+    return coeffs_bar, rhs_bar
+
+
+_fd_solve_cpx.defvjp(_fd_solve_cpx_fwd, _fd_solve_cpx_bwd)
+
+
+def _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0):
+    src = cpxlib.of(src)
+    single = src.ndim == 2
+    if single:
+        src = Cpx(src.re[None], src.im[None])
+    if config.method != SolverMethod.BANDED:
+        raise NotImplementedError(
+            "split_complex differentiable solve supports the banded method")
+    coeffs = helmholtz_coefficients_cpx(vel, grid, f, config.pml,
+                                        config.stencil)
+    if adjoint:
+        coeffs = adjoint_coefficients_cpx(coeffs)
+    scale = dirichlet_scale(grid)
+    d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
+    if not adjoint:
+        src = cpxlib.scale(src, d_map)
+    if x0 is not None:
+        x0 = jax.lax.stop_gradient(cpxlib.of(x0))
+        if x0.ndim == 2:
+            x0 = Cpx(x0.re[None], x0.im[None])
+        if adjoint:
+            x0 = cpxlib.scale(x0, 1.0 / d_map)
+        r0 = src - h_apply_cpx(coeffs, x0)
+        u = x0 + _fd_solve_cpx(coeffs, r0, grid, config)
+    else:
+        u = _fd_solve_cpx(coeffs, src, grid, config)
+    if adjoint:
+        u = cpxlib.scale(u, d_map)
+    # Diagnostics on a stop-gradient side path.
+    coeffs_sg = jax.lax.stop_gradient(coeffs)
+    w_sg = jax.lax.stop_gradient(
+        cpxlib.scale(u, 1.0 / d_map) if adjoint else u)
+    res = h_apply_cpx(coeffs_sg, w_sg) - jax.lax.stop_gradient(src)
+    rel = jnp.sqrt(jnp.sum(cpxlib.abs2(res), axis=(1, 2))
+                   / jnp.maximum(jnp.sum(cpxlib.abs2(jax.lax.stop_gradient(src)),
+                                         axis=(1, 2)), 1e-38))
+    info = SolveInfo(rel, jnp.int32(-1))
+    if single:
+        u = u[0]
+    return u, info
 
 
 # ---------------------------------------------------------------------------
@@ -279,13 +364,19 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
     single = src.ndim == 2
     if single:
         src = Cpx(src.re[None], src.im[None])
-    if cfg.method != SolverMethod.BANDED:
+    if cfg.method == SolverMethod.BORN:
+        u, _ = born_series_solve_cpx(op.vel, src, op.f, grid, cfg.born_pml,
+                                     adjoint=adjoint,
+                                     iter_cap=cfg.born_iter_cap,
+                                     iter_scale=cfg.born_iter_scale)
+    elif cfg.method == SolverMethod.BANDED:
+        rhs = src if adjoint else cpxlib.scale(src, op.d_map)
+        u = _banded_solve_refined_cpx(op.factor, rhs, cfg, adjoint=adjoint)
+        if adjoint:
+            u = cpxlib.scale(u, op.d_map)
+    else:
         raise NotImplementedError(
-            "split_complex operator solve supports the banded method")
-    rhs = src if adjoint else cpxlib.scale(src, op.d_map)
-    u = _banded_solve_refined_cpx(op.factor, rhs, cfg, adjoint=adjoint)
-    if adjoint:
-        u = cpxlib.scale(u, op.d_map)
+            "split_complex operator solve supports banded and born methods")
     if single:
         u = u[0]
     return u
@@ -334,6 +425,8 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
     Note: diagnostics (residual/iteration count) are computed on a
     stop-gradient side path so the differentiable output is just u.
     """
+    if config.split_complex:
+        return _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0)
     src = jnp.asarray(src, jnp.complex64)
     single = src.ndim == 2
     if single:

@@ -307,3 +307,96 @@ def banded_solve_cpx(factor: BandedFactorCpx, b: Cpx,
         x = cpx.concat([x_rest, Cpx(x_last.re[None], x_last.im[None])], 0)
 
     return cpx.apply_parts(lambda p: jnp.moveaxis(p, 0, 1), x)
+
+
+# ---------------------------------------------------------------------------
+# Convergent Born series (split form of born.born_series_solve)
+# ---------------------------------------------------------------------------
+
+def born_operator_cpx(vel, f, grid: Grid2D, pml: PMLConfig,
+                      adjoint: bool = False, n_order: int = 9):
+    """Split-complex CBS split (cf. born.born_operator; reference:
+    solveHelmholtzBornSeries.m:16-58)."""
+    import math
+
+    ny, nx = grid.ny, grid.nx
+    dx, dy = grid.dx, grid.dy
+    sign = float(pml.sign_convention) * (-1.0 if adjoint else 1.0)
+
+    vel = jnp.asarray(vel, jnp.float32)
+    k_real = 2 * jnp.pi * f / vel  # real interior wavenumber
+
+    kx = (2 * jnp.pi * jnp.fft.fftfreq(nx, d=dx)).astype(jnp.float32)
+    ky = (2 * jnp.pi * jnp.fft.fftfreq(ny, d=dy)).astype(jnp.float32)
+    p2 = kx[None, :] ** 2 + ky[:, None] ** 2  # real
+
+    # Polynomial absorbing boundary (complex k^2 increment).
+    c_att = pml.a0 / pml.l_pml
+    k0_b = jnp.sqrt(jnp.mean(k_real ** 2))  # real
+    x = jnp.asarray(grid.x, jnp.float32)
+    y = jnp.asarray(grid.y, jnp.float32)
+    x_pml = jnp.maximum(jnp.abs(x) + pml.l_pml - (nx - 1) * dx / 2, 0.0)
+    y_pml = jnp.maximum(jnp.abs(y) + pml.l_pml - (ny - 1) * dy / 2, 0.0)
+    r_b = jnp.sqrt(x_pml[None, :] ** 2 + y_pml[:, None] ** 2)
+    cr = c_att * r_b
+    trunc_exp = jnp.ones_like(cr)
+    for m in range(n_order, 0, -1):
+        trunc_exp = 1 + trunc_exp * cr / m
+    denom = math.factorial(n_order) * trunc_exp
+    num = Cpx((c_att ** 2) * (n_order - cr) * cr ** (n_order - 1) / denom,
+              (c_att ** 2) * (2 * k0_b * r_b * sign) * cr ** (n_order - 1) / denom)
+    k2 = Cpx(k_real ** 2 + num.re, num.im)
+    k = cpx.sqrt(k2)
+
+    k_0 = (jnp.min(k.re) + jnp.max(k.re)) / 2  # real scalar
+    v_pot0 = Cpx(k2.re - k_0 ** 2, k2.im)
+    eps = jnp.max(cpx.absval(v_pot0)) * sign
+    v_pot = Cpx(v_pot0.re, v_pot0.im - eps)
+    gamma = cpx.mul(Cpx(jnp.zeros_like(eps), 1.0 / eps), v_pot)
+
+    pseudo_prop_len = 2 * k_0 / jnp.abs(eps)
+    n_iter = jnp.ceil(jnp.float32(grid.diagonal) / pseudo_prop_len)
+
+    g0 = cpx.reciprocal(Cpx(p2 - k_0 ** 2, -eps * jnp.ones_like(p2)))
+
+    def greens(w: Cpx) -> Cpx:
+        return cpx.ifft2(cpx.mul(g0, cpx.fft2(w)))
+
+    return greens, v_pot, gamma, n_iter
+
+
+def born_series_solve_cpx(vel, src: Cpx, f, grid: Grid2D,
+                          pml: PMLConfig, adjoint: bool = False,
+                          n_order: int = 9, iter_cap: int = 1000,
+                          iter_scale: float = 1.0):
+    """Split-complex convergent Born series (cf. born.born_series_solve)."""
+    greens, v_pot, gamma, n_heur = born_operator_cpx(vel, f, grid, pml,
+                                                     adjoint, n_order)
+    n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
+    src = cpx.of(src)
+
+    def body(i, u):
+        upd = u - greens(cpx.mul(v_pot, u) - src)
+        return u - cpx.mul(gamma, upd)
+
+    u0 = cpx.zeros(src.shape)
+    u = jax.lax.fori_loop(0, n_iter, body, u0)
+    return u, n_iter
+
+
+def transpose_coefficients_cpx(coeffs: Cpx) -> Cpx:
+    """Split form of apply.transpose_coefficients."""
+    from .apply import _shift
+    offset_to_slot = {off: i for i, off in enumerate(STENCIL_OFFSETS)}
+    out_re = [None] * 9
+    out_im = [None] * 9
+    for s, (dy, dx) in enumerate(STENCIL_OFFSETS):
+        t = offset_to_slot[(-dy, -dx)]
+        out_re[t] = _shift(coeffs.re[s], -dy, -dx)
+        out_im[t] = _shift(coeffs.im[s], -dy, -dx)
+    return Cpx(jnp.stack(out_re), jnp.stack(out_im))
+
+
+def adjoint_coefficients_cpx(coeffs: Cpx) -> Cpx:
+    """Split form of apply.adjoint_coefficients (conjugate transpose)."""
+    return transpose_coefficients_cpx(coeffs).conj()
