@@ -77,3 +77,35 @@ def test_halo_apply_matches_unsharded():
 
     np.testing.assert_allclose(np.array(out), np.array(ref),
                                atol=1e-5 * float(jnp.abs(ref).max()))
+
+
+def test_shot_sharded_split_cg_matches_single_device():
+    """Production path: split-complex engine + shot sharding."""
+    import dataclasses
+    C0 = 1500.0
+    f = 200e3
+    acq_cfg = AcquisitionConfig(num_elements=32, radius=18e-3,
+                                num_excluded_each_side=3)
+    solver = SolverConfig(pml=PMLConfig(l_pml=4e-3), split_complex=True)
+    grid = Grid2D.centered(24e-3, 0.8e-3)
+    vel_true = smooth_blob_phantom(grid, radius=8e-3, dc=30, c_bkgnd=C0)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=f, seed=0,
+                                 solver=dataclasses.replace(solver,
+                                                            split_complex=False))
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, f, split=True)
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2)
+
+    res_single = nonlinear_cg(vel0, data, grid, solver, fwi)
+
+    mesh = shot_mesh()
+    data_sharded = shard_fwi_data(data, mesh)  # polymorphic over Cpx
+    res_sharded = nonlinear_cg(vel0, data_sharded, grid, solver, fwi)
+
+    np.testing.assert_allclose(np.asarray(res_sharded.metrics.loss),
+                               np.asarray(res_single.metrics.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_sharded.velocity),
+                               np.asarray(res_single.velocity),
+                               atol=1e-3 * float(jnp.abs(res_single.velocity).max()))

@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fwi.objective import FWIData
+from ..ops.cpx import Cpx
 
 
 def shot_mesh(devices=None, axis_name: str = "shot") -> Mesh:
@@ -48,9 +49,16 @@ def shard_fwi_data(data: FWIData, mesh: Mesh,
     shot3 = NamedSharding(mesh, P(axis_name, None, None))
     shot2 = NamedSharding(mesh, P(axis_name, None))
     rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        if isinstance(x, Cpx):  # split-complex: shard both planes
+            return Cpx(jax.device_put(x.re, sharding),
+                       jax.device_put(x.im, sharding))
+        return jax.device_put(x, sharding)
+
     return FWIData(
-        src=jax.device_put(data.src, shot3),
-        rec_obs=jax.device_put(data.rec_obs, shot2),
+        src=put(data.src, shot3),
+        rec_obs=put(data.rec_obs, shot2),
         rx_y=jax.device_put(data.rx_y, shot2),
         rx_x=jax.device_put(data.rx_x, shot2),
         f=jax.device_put(data.f, rep),
