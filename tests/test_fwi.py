@@ -213,3 +213,47 @@ class TestContinuation:
         assert res.frequencies == (120e3, 200e3)
         assert np.all(np.isfinite(res.metrics["loss"]))
         assert res.metrics["loss"].shape == (4,)
+
+
+class TestBilinearPlacement:
+    def test_bilinear_removes_snapping_error(self):
+        """With exact (bilinear) element placement, synthesis and inversion
+        grids no longer need consistent snapping: cross-grid FWI with raw
+        ring coordinates converges, where nearest snapping degrades
+        (the pitfall documented in synthesize_ring_dataset)."""
+        import numpy as np
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        from waveforminversionust_tpu.fwi.objective import build_fwi_data
+        from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+        from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+        acq_cfg = dataclasses.replace(ACQ, interpolation="bilinear")
+        fine = Grid2D.centered(24e-3, 0.4e-3)
+        true_vel = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+        # raw ring coordinates — NOT pre-snapped to either grid
+        ds = synthesize_ring_dataset(true_vel, fine, acq_cfg, f=F, seed=3,
+                                     solver=SOLVER)
+        coarse = Grid2D.centered(24e-3, 0.8e-3)
+        acq = build_ring_acquisition(coarse, acq_cfg, x_elem=ds.x_circ,
+                                     y_elem=ds.y_circ)
+        data = build_fwi_data(acq, ds.rec_data, F)
+        assert data.rx_w is not None and data.rx_y.shape[-1] == 4
+        vel0 = jnp.full(coarse.shape, C0, jnp.float32)
+        res = nonlinear_cg(vel0, data, coarse, SOLVER,
+                           FWIConfig(num_iterations=3))
+        true_coarse = smooth_blob_phantom(coarse, radius=8e-3, dc=30,
+                                          c_bkgnd=C0)
+        err0 = _recon_error(np.full(coarse.shape, C0), true_coarse, coarse)
+        err_bi = _recon_error(res.velocity, true_coarse, coarse)
+        assert np.all(np.isfinite(np.asarray(res.metrics.loss)))
+        # bilinear placement converges strongly (measured: 9.2 -> ~3 m/s)...
+        assert err_bi < 0.5 * err0, (err_bi, err0)
+
+        # ...where nearest snapping on the same raw coordinates DIVERGES
+        acq_n = build_ring_acquisition(coarse, ACQ, x_elem=ds.x_circ,
+                                       y_elem=ds.y_circ)
+        data_n = build_fwi_data(acq_n, ds.rec_data, F)
+        res_n = nonlinear_cg(vel0, data_n, coarse, SOLVER,
+                             FWIConfig(num_iterations=3))
+        err_near = _recon_error(res_n.velocity, true_coarse, coarse)
+        assert err_bi < 0.5 * err_near, (err_bi, err_near)

@@ -129,6 +129,15 @@ class AcquisitionConfig:
     radius: float = 110.0e-3
     num_excluded_each_side: int = 31
     tx_downsample: int = 1
+    # Element placement on the grid: "nearest" snaps to the closest pixel
+    # (reference behavior: fwi_script.py:53-66; up to half a pixel of
+    # position error, which acts as coherent phase noise — measured to
+    # degrade and even diverge single-frequency FWI when the synthesis and
+    # inversion grids snap differently). "bilinear" spreads each element
+    # over its 4 neighboring pixels with exact interpolation weights,
+    # eliminating the snapping error; sampling and injection use the same
+    # weights, so the adjoint stays consistent.
+    interpolation: str = "nearest"  # "nearest" | "bilinear"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,10 @@ class FWIData(NamedTuple):
     rx_y: jnp.ndarray
     rx_x: jnp.ndarray
     f: jnp.ndarray
+    # Bilinear receiver stencils: when set, rx_y/rx_x are (ntx, n_active, 4)
+    # corner indices and rx_w the matching real weights (see
+    # AcquisitionConfig.interpolation). None for nearest-pixel sampling.
+    rx_w: jnp.ndarray | None = None
 
 
 def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f,
@@ -66,34 +70,63 @@ def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f,
     else:
         src = jnp.asarray(src_np, jnp.complex64)
         rec_d = jnp.asarray(rec, jnp.complex64)
+    if acq.rx_w4 is not None:
+        rx_y = jnp.asarray(acq.rx_y4, jnp.int32)
+        rx_x = jnp.asarray(acq.rx_x4, jnp.int32)
+        rx_w = jnp.asarray(acq.rx_w4, jnp.float32)
+    else:
+        rx_y = jnp.asarray(acq.rx_y, jnp.int32)
+        rx_x = jnp.asarray(acq.rx_x, jnp.int32)
+        rx_w = None
     return FWIData(
         src=src,
         rec_obs=rec_d,
-        rx_y=jnp.asarray(acq.rx_y, jnp.int32),
-        rx_x=jnp.asarray(acq.rx_x, jnp.int32),
+        rx_y=rx_y,
+        rx_x=rx_x,
         f=jnp.asarray(f, jnp.float32),
+        rx_w=rx_w,
     )
 
 
-def sample_receivers(fields, rx_y, rx_x):
-    """Gather wavefields at receiver pixels: (ntx, ny, nx) -> (ntx, n_active)."""
+def sample_receivers(fields, rx_y, rx_x, rx_w=None):
+    """Gather wavefields at receiver pixels: (ntx, ny, nx) -> (ntx, n_active).
+
+    With bilinear stencils (rx_w given; rx_y/rx_x of shape (ntx, n, 4)) the
+    receiver value is the weighted sum over the 4 enclosing pixels.
+    """
     ntx = fields.shape[0]
-    idx = (jnp.arange(ntx)[:, None], rx_y, rx_x)
-    if isinstance(fields, Cpx):
+    if rx_w is None:
+        idx = (jnp.arange(ntx)[:, None], rx_y, rx_x)
         return fields[idx]
-    return fields[idx]
+    idx = (jnp.arange(ntx)[:, None, None], rx_y, rx_x)
+    if isinstance(fields, Cpx):
+        corners = fields[idx]  # (ntx, n, 4)
+        return Cpx((corners.re * rx_w).sum(-1), (corners.im * rx_w).sum(-1))
+    return (fields[idx] * rx_w).sum(-1)
 
 
-def scatter_to_fields(values, rx_y, rx_x, shape):
+def scatter_to_fields(values, rx_y, rx_x, shape, rx_w=None):
     """Scatter (ntx, n_active) values onto (ntx, ny, nx) zero fields — the
-    adjoint-source builder (reference: nonlinearcg.py:108-116)."""
+    adjoint-source builder (reference: nonlinearcg.py:108-116).
+
+    With bilinear stencils, each value is scatter-ADDED to its 4 corners
+    with the sampling weights (the exact adjoint of bilinear sampling).
+    """
     ntx = values.shape[0]
-    idx = (jnp.arange(ntx)[:, None], rx_y, rx_x)
+    if rx_w is None:
+        idx = (jnp.arange(ntx)[:, None], rx_y, rx_x)
+        if isinstance(values, Cpx):
+            zero = cpx.zeros((ntx,) + tuple(shape))
+            return cpx.set_at(zero, idx, values)
+        out = jnp.zeros((ntx,) + tuple(shape), values.dtype)
+        return out.at[idx].set(values)
+    idx = (jnp.arange(ntx)[:, None, None], rx_y, rx_x)
     if isinstance(values, Cpx):
         zero = cpx.zeros((ntx,) + tuple(shape))
-        return cpx.set_at(zero, idx, values)
+        return Cpx(zero.re.at[idx].add(values.re[..., None] * rx_w),
+                   zero.im.at[idx].add(values.im[..., None] * rx_w))
     out = jnp.zeros((ntx,) + tuple(shape), values.dtype)
-    return out.at[idx].set(values)
+    return out.at[idx].add(values[..., None] * rx_w.astype(values.dtype))
 
 
 def estimate_source_strengths(rec_sim, rec_obs):

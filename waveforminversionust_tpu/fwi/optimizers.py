@@ -131,7 +131,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # (1) forward solve, all transmitters at once
         # (reference: nonlinearcg.py:76)
         wv = helmholtz_operator_solve(op, data.src, grid, solver)
-        rec_sim = sample_receivers(wv, data.rx_y, data.rx_x)
+        rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
 
         # (2) source-strength estimation (reference: nonlinearcg.py:79-89)
         if fwi.estimate_source_strength:
@@ -148,7 +148,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 
         # (3) adjoint solve on the scattered residuals
         # (reference: nonlinearcg.py:93-125)
-        adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x, grid.shape)
+        adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x,
+                                    grid.shape, data.rx_w)
         adj_wv = helmholtz_operator_solve(op, adj_src, grid, solver,
                                           adjoint=True)
 
@@ -170,7 +171,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         else:
             pert_src = -virt * sd_new[None].astype(jnp.complex64)
         pert = helmholtz_operator_solve(op, pert_src, grid, solver)
-        drec = sample_receivers(pert, data.rx_y, data.rx_x)
+        drec = sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
 
         # (7) step size & slowness update (reference: nonlinearcg.py:159,
         # 22-32; slowness stays real throughout, matching the MATLAB

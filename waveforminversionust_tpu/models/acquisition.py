@@ -50,6 +50,29 @@ def snap_to_grid(grid: Grid2D, xq: np.ndarray, yq: np.ndarray) -> tuple[np.ndarr
     return x_idx.astype(np.int32), y_idx.astype(np.int32)
 
 
+def bilinear_weights(grid: Grid2D, xq: np.ndarray, yq: np.ndarray):
+    """4-corner bilinear interpolation stencils for physical points.
+
+    Returns (y_idx, x_idx, w) of shape (n, 4): the enclosing pixel corners
+    and their weights (sum to 1). Used for exact element placement —
+    removing the reference's nearest-pixel snapping error
+    (reference: fwi_script.py:53-66; see AcquisitionConfig.interpolation).
+    """
+    xq = np.asarray(xq, np.float64).ravel()
+    yq = np.asarray(yq, np.float64).ravel()
+    fx = np.clip((xq - grid.x0) / grid.dx, 0, grid.nx - 1 - 1e-9)
+    fy = np.clip((yq - grid.y0) / grid.dy, 0, grid.ny - 1 - 1e-9)
+    ix = np.clip(fx.astype(int), 0, grid.nx - 2)
+    iy = np.clip(fy.astype(int), 0, grid.ny - 2)
+    wx = fx - ix
+    wy = fy - iy
+    x_idx = np.stack([ix, ix + 1, ix, ix + 1], axis=1).astype(np.int32)
+    y_idx = np.stack([iy, iy, iy + 1, iy + 1], axis=1).astype(np.int32)
+    w = np.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                  (1 - wx) * wy, wx * wy], axis=1).astype(np.float32)
+    return y_idx, x_idx, w
+
+
 def acceptance_mask(num_elements: int, num_excluded_each_side: int) -> np.ndarray:
     """Boolean (num_elements, num_elements) include-mask.
 
@@ -92,6 +115,14 @@ class RingAcquisition:
     rx_indices: np.ndarray
     rx_y: np.ndarray
     rx_x: np.ndarray
+    # Bilinear placement (None for nearest): (num_elements, 4) corner
+    # stencils and the per-tx gathered receiver versions (ntx, n_active, 4).
+    elem_y4: np.ndarray | None = None
+    elem_x4: np.ndarray | None = None
+    elem_w4: np.ndarray | None = None
+    rx_y4: np.ndarray | None = None
+    rx_x4: np.ndarray | None = None
+    rx_w4: np.ndarray | None = None
 
     @property
     def num_elements(self) -> int:
@@ -106,7 +137,8 @@ class RingAcquisition:
         return int(self.rx_indices.shape[1])
 
     def source_fields(self, dtype=np.complex64, amplitudes=None) -> np.ndarray:
-        """One-hot source cube, shape (ntx, ny, nx).
+        """Source cube, shape (ntx, ny, nx): one-hot per transmit element
+        (nearest placement) or a 4-pixel bilinear stencil.
 
         ``amplitudes`` (ntx,) sets per-element complex amplitudes (the data
         synthesizer draws them at random to force source-strength estimation;
@@ -116,7 +148,13 @@ class RingAcquisition:
         src = np.zeros((ntx, self.grid.ny, self.grid.nx), dtype=dtype)
         amp = np.ones(ntx, dtype=dtype) if amplitudes is None else np.asarray(amplitudes, dtype=dtype)
         tx = self.tx_include
-        src[np.arange(ntx), self.y_idx[tx], self.x_idx[tx]] = amp
+        if self.elem_w4 is None:
+            src[np.arange(ntx), self.y_idx[tx], self.x_idx[tx]] = amp
+        else:
+            for k in range(4):
+                np.add.at(src, (np.arange(ntx), self.elem_y4[tx, k],
+                                self.elem_x4[tx, k]),
+                          amp * self.elem_w4[tx, k])
         return src
 
     def sample_receivers_all(self, fields: np.ndarray) -> np.ndarray:
@@ -139,6 +177,12 @@ def build_ring_acquisition(grid: Grid2D, config: AcquisitionConfig,
     n = x_elem.size
 
     x_idx, y_idx = snap_to_grid(grid, x_elem, y_elem)
+    if config.interpolation == "bilinear":
+        elem_y4, elem_x4, elem_w4 = bilinear_weights(grid, x_elem, y_elem)
+    elif config.interpolation == "nearest":
+        elem_y4 = elem_x4 = elem_w4 = None
+    else:
+        raise ValueError(f"unknown interpolation {config.interpolation!r}")
     tx_include = np.arange(0, n, config.tx_downsample, dtype=np.int32)
 
     full_mask = acceptance_mask(n, config.num_excluded_each_side)
@@ -162,4 +206,10 @@ def build_ring_acquisition(grid: Grid2D, config: AcquisitionConfig,
         rx_indices=rx_indices,
         rx_y=y_idx[rx_indices],
         rx_x=x_idx[rx_indices],
+        elem_y4=elem_y4,
+        elem_x4=elem_x4,
+        elem_w4=elem_w4,
+        rx_y4=None if elem_y4 is None else elem_y4[rx_indices],
+        rx_x4=None if elem_x4 is None else elem_x4[rx_indices],
+        rx_w4=None if elem_w4 is None else elem_w4[rx_indices],
     )
