@@ -11,7 +11,13 @@ from .config import (AcquisitionConfig, ContinuationConfig, FWIConfig,
                      MomentumFormula, PMLConfig, SolverConfig, SolverMethod,
                      StencilConfig, StepSizeFormula)
 from .models.grid import Grid2D
+from .models.grid3d import Grid3D
 from .models.acquisition import RingAcquisition, build_ring_acquisition
-from .ops.solve import solve_helmholtz
+from .ops.solve import (HelmholtzOperator, helmholtz_operator_solve,
+                        make_helmholtz_operator, solve_helmholtz)
+from .fwi.objective import FWIData, build_fwi_data
+from .fwi.optimizers import CGResult, nonlinear_cg
+from .fwi.lbfgs import run_lbfgs
+from .fwi.runner import invert_dataset, reconstruction_rmse
 
 __version__ = "0.1.0"

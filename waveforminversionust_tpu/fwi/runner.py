@@ -139,3 +139,19 @@ def reconstruction_rmse(velocity, grid: Grid2D, true_map, true_grid: Grid2D,
     X, Y = grid.meshgrid()
     inside = np.hypot(X, Y) < radius
     return float(np.sqrt(np.mean((np.asarray(velocity) - interp)[inside] ** 2)))
+
+
+def make_logging_callback(every: int = 1, prefix: str = "[fwi]"):
+    """A simple stage callback printing loss trajectories (the reference
+    prints per-iteration wall-clock only; SURVEY.md section 5)."""
+    import numpy as _np
+
+    def callback(stage_idx, freq, velocity, stage_metrics):
+        if stage_idx % every:
+            return
+        loss = getattr(stage_metrics, "loss", stage_metrics)
+        loss = _np.asarray(loss)
+        print(f"{prefix} stage {stage_idx} f={freq / 1e3:.0f} kHz "
+              f"loss {loss[0]:.3e} -> {loss[-1]:.3e}")
+
+    return callback

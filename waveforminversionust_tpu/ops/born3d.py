@@ -1,0 +1,118 @@
+"""3D convergent Born series Helmholtz solver — the volumetric slab extension.
+
+The reference is strictly 2D; this extends the CBS machinery of
+:mod:`.born` (reference: solveHelmholtzBornSeries.m) to 3D, where FFT-based
+matrix-free solvers are the only practical option on accelerator memory
+budgets (a 3D direct factorization stores dense (ny*nz)^2 blocks). One
+iteration is a 3D FFT pair + elementwise updates — ideal TPU work; grids
+shard over the mesh z-axis for slabs beyond one chip (halo-free: the
+operator is global in k-space, so sharding happens at the batch/frequency
+level or via distributed FFT in later rounds).
+
+Split-complex throughout (see :mod:`.cpx`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PMLConfig
+from ..models.grid3d import Grid3D
+from . import cpx
+from .cpx import Cpx
+
+
+def _fft3(x: Cpx) -> Cpx:
+    fr = jnp.fft.fftn(x.re, axes=(-3, -2, -1))
+    fi = jnp.fft.fftn(x.im, axes=(-3, -2, -1))
+    return Cpx(jnp.real(fr) - jnp.imag(fi), jnp.imag(fr) + jnp.real(fi))
+
+
+def _ifft3(x: Cpx) -> Cpx:
+    n = x.re.shape[-1] * x.re.shape[-2] * x.re.shape[-3]
+    y = _fft3(x.conj()).conj()
+    return Cpx(y.re / n, y.im / n)
+
+
+def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
+                     adjoint: bool = False, n_order: int = 9):
+    """3D CBS split: k-space Green's function, potential, preconditioner."""
+    nz, ny, nx = grid.shape
+    sign = float(pml.sign_convention) * (-1.0 if adjoint else 1.0)
+
+    vel = jnp.asarray(vel, jnp.float32)
+    k_real = 2 * jnp.pi * f / vel
+
+    kx = (2 * jnp.pi * jnp.fft.fftfreq(nx, d=grid.dx)).astype(jnp.float32)
+    ky = (2 * jnp.pi * jnp.fft.fftfreq(ny, d=grid.dy)).astype(jnp.float32)
+    kz = (2 * jnp.pi * jnp.fft.fftfreq(nz, d=grid.dz)).astype(jnp.float32)
+    p2 = (kz[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kx[None, None, :] ** 2)
+
+    # Polynomial absorbing shell on all six faces.
+    c_att = pml.a0 / pml.l_pml
+    k0_b = jnp.sqrt(jnp.mean(k_real ** 2))
+    x = jnp.asarray(grid.x, jnp.float32)
+    y = jnp.asarray(grid.y, jnp.float32)
+    z = jnp.asarray(grid.z, jnp.float32)
+    x_p = jnp.maximum(jnp.abs(x) + pml.l_pml - (nx - 1) * grid.dx / 2, 0.0)
+    y_p = jnp.maximum(jnp.abs(y) + pml.l_pml - (ny - 1) * grid.dy / 2, 0.0)
+    z_p = jnp.maximum(jnp.abs(z) + pml.l_pml - (nz - 1) * grid.dz / 2, 0.0)
+    r_b = jnp.sqrt(z_p[:, None, None] ** 2 + y_p[None, :, None] ** 2
+                   + x_p[None, None, :] ** 2)
+    cr = c_att * r_b
+    trunc_exp = jnp.ones_like(cr)
+    for m in range(n_order, 0, -1):
+        trunc_exp = 1 + trunc_exp * cr / m
+    denom = math.factorial(n_order) * trunc_exp
+    curve = Cpx((c_att ** 2) * (n_order - cr) * cr ** (n_order - 1) / denom,
+                (c_att ** 2) * (2 * k0_b * r_b * sign) * cr ** (n_order - 1) / denom)
+    k2 = Cpx(k_real ** 2 + curve.re, curve.im)
+    k = cpx.sqrt(k2)
+
+    k_0 = (jnp.min(k.re) + jnp.max(k.re)) / 2
+    v_pot0 = Cpx(k2.re - k_0 ** 2, k2.im)
+    eps = jnp.max(cpx.absval(v_pot0)) * sign
+    v_pot = Cpx(v_pot0.re, v_pot0.im - eps)
+    gamma = cpx.mul(Cpx(jnp.zeros_like(eps), 1.0 / eps), v_pot)
+
+    pseudo_prop_len = 2 * k_0 / jnp.abs(eps)
+    n_iter = jnp.ceil(jnp.float32(grid.diagonal) / pseudo_prop_len)
+
+    g0 = cpx.reciprocal(Cpx(p2 - k_0 ** 2, -eps * jnp.ones_like(p2)))
+
+    def greens(w: Cpx) -> Cpx:
+        return _ifft3(cpx.mul(g0, _fft3(w)))
+
+    return greens, v_pot, gamma, n_iter
+
+
+def born_series_solve_3d(vel, src, f, grid: Grid3D,
+                         pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
+                         adjoint: bool = False, n_order: int = 9,
+                         iter_cap: int = 2000, iter_scale: float = 1.0):
+    """Solve the 3D Helmholtz equation by convergent Born series.
+
+    Args:
+        vel: (nz, ny, nx) wave-speed volume [m/s].
+        src: (batch, nz, ny, nx) complex sources (array or Cpx).
+        f: frequency [Hz].
+
+    Returns:
+        (wavefield Cpx (batch, nz, ny, nx), iterations int32)
+    """
+    greens, v_pot, gamma, n_heur = born_operator_3d(vel, f, grid, pml,
+                                                    adjoint, n_order)
+    n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
+    src = cpx.of(src)
+
+    def body(i, u):
+        upd = u - greens(cpx.mul(v_pot, u) - src)
+        return u - cpx.mul(gamma, upd)
+
+    u0 = cpx.zeros(src.shape)
+    u = jax.lax.fori_loop(0, n_iter, body, u0)
+    return u, n_iter
