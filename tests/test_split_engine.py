@@ -239,3 +239,22 @@ def test_split_lbfgs_runs():
                     solver_s, num_iterations=3)
     losses = np.asarray(res.loss_history)
     assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_split_synthesize_matches_native():
+    import dataclasses
+    from waveforminversionust_tpu import AcquisitionConfig, SolverConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+
+    acq = AcquisitionConfig(num_elements=12, radius=9e-3,
+                            num_excluded_each_side=1)
+    solver = SolverConfig(pml=PMLConfig(l_pml=2.4e-3))
+    grid = Grid2D.centered(12e-3, 0.8e-3)
+    vel = smooth_blob_phantom(grid, radius=4e-3, dc=30)
+    ds_n = synthesize_ring_dataset(vel, grid, acq, f=200e3, seed=1,
+                                   solver=solver)
+    ds_s = synthesize_ring_dataset(vel, grid, acq, f=200e3, seed=1,
+                                   solver=dataclasses.replace(solver,
+                                                              split_complex=True))
+    np.testing.assert_allclose(ds_s.rec_data, ds_n.rec_data,
+                               atol=2e-5 * np.abs(ds_n.rec_data).max())

@@ -13,9 +13,6 @@ benchmarking:
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
-import sys
 
 import numpy as np
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AcquisitionConfig, SolverConfig
-from ..models.acquisition import RingAcquisition, build_ring_acquisition
+from ..models.acquisition import build_ring_acquisition
 from ..models.grid import Grid2D
 from ..ops.solve import solve_helmholtz
 
@@ -40,10 +40,14 @@ class RingDataset(NamedTuple):
 @partial(jax.jit, static_argnames=("grid", "solver"))
 def _forward_record(vel, src, f, rx_y, rx_x, grid: Grid2D,
                     solver: SolverConfig):
+    from ..ops.cpx import Cpx
     u, _ = solve_helmholtz(vel, src, f, grid, solver)
-    rec = u[jnp.arange(u.shape[0])[:, None], rx_y[None, :], rx_x[None, :]]
-    # Return as real/imag planes: complex64 outputs are not fetchable on all
+    idx = (jnp.arange(src.shape[0])[:, None], rx_y[None, :], rx_x[None, :])
+    # Return real/imag planes: complex64 outputs are not fetchable on all
     # TPU runtimes (see utils.host).
+    if isinstance(u, Cpx):
+        return u.re[idx], u.im[idx]
+    rec = u[idx]
     return jnp.real(rec), jnp.imag(rec)
 
 
@@ -83,7 +87,12 @@ def synthesize_ring_dataset(vel, grid: Grid2D,
                 + 1j * rng.standard_normal(acq.num_tx)).astype(np.complex64)
     else:
         amps = np.ones(acq.num_tx, np.complex64)
-    src = jnp.asarray(acq.source_fields(amplitudes=amps))
+    src_np = acq.source_fields(amplitudes=amps)
+    if solver.split_complex:
+        from ..ops import cpx
+        src = cpx.of(src_np)
+    else:
+        src = jnp.asarray(src_np)
 
     re, im = _forward_record(jnp.asarray(vel, jnp.float32), src,
                              jnp.float32(f),

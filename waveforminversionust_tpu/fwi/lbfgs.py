@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import FWIConfig, SolverConfig
+from ..config import SolverConfig
 from ..models.grid import Grid2D
 from ..ops.solve import solve_helmholtz
 from .objective import (FWIData, estimate_source_strengths, misfit,

@@ -10,7 +10,7 @@ stated future work) and optional checkpointing.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Sequence
+from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

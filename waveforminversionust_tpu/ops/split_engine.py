@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import PMLConfig, SolverConfig, StencilConfig
+from ..config import PMLConfig, StencilConfig
 from ..models.grid import Grid2D
 from . import cpx
 from .cpx import Cpx
