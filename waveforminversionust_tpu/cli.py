@@ -40,12 +40,12 @@ def _cmd_run(args):
     if args.checkpoint_dir:
         from .utils.checkpoint import make_stage_checkpointer
         callback = make_stage_checkpointer(args.checkpoint_dir)
-    acq_kwargs = {}
-    if args.elements is not None:
-        from .config import AcquisitionConfig
-        acq_kwargs["acquisition"] = AcquisitionConfig(
-            num_elements=args.elements, radius=args.radius or 110e-3,
-            num_excluded_each_side=args.exclude)
+    from .config import AcquisitionConfig
+    acq_kwargs = {"acquisition": AcquisitionConfig(
+        num_elements=args.elements or 256,
+        radius=args.radius or 110e-3,
+        num_excluded_each_side=args.exclude,
+        interpolation=args.interpolation)}
     res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
                          continuation=continuation, callback=callback,
                          **acq_kwargs)
@@ -132,6 +132,9 @@ def main(argv=None):
     pr.add_argument("--radius", type=float, default=None)
     pr.add_argument("--exclude", type=int, default=31,
                     help="receivers excluded each side of tx")
+    pr.add_argument("--interpolation", choices=["nearest", "bilinear"],
+                    default="nearest",
+                    help="element placement; bilinear removes snapping error")
     pr.set_defaults(fn=_cmd_run)
 
     ps = sub.add_parser("simulate", help="synthesize a ring dataset")

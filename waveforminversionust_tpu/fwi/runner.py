@@ -72,8 +72,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     # Auto-select the split-complex engine off-CPU (see ops.cpx), unless the
     # caller pinned it explicitly in the solver config.
     import jax as _jax
-    if (not solver.split_complex and method == "cg"
-            and _jax.devices()[0].platform != "cpu"):
+    if not solver.split_complex and _jax.devices()[0].platform != "cpu":
         solver = dataclasses.replace(solver, split_complex=True)
 
     if continuation is None or not continuation.frequencies:
