@@ -98,12 +98,26 @@ class TestNonlinearCG:
                            FWIConfig(num_iterations=2, step_size=step))
         assert np.all(np.isfinite(np.array(res.metrics.loss)))
 
-    def test_born_solver_variant_runs(self, problem):
-        grid, data, _ = problem
-        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    def test_born_solver_variant_runs(self):
+        # Small dedicated problem: the Born solves are iterative (hundreds of
+        # FFT pairs each), so keep this fixture tiny for suite runtime.
         import dataclasses
-        res = nonlinear_cg(vel0, data, grid,
-                           dataclasses.replace(SOLVER, method=SolverMethod.BORN),
+        acq_cfg = AcquisitionConfig(num_elements=16, radius=9e-3,
+                                    num_excluded_each_side=2)
+        solver = dataclasses.replace(
+            SOLVER, method=SolverMethod.BORN,
+            born_pml=PMLConfig(a0=20.0, l_pml=2.4e-3), tol=1e-4)
+        grid = Grid2D.centered(12e-3, 0.8e-3)
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        true_vel = smooth_blob_phantom(grid, radius=4e-3, dc=30, c_bkgnd=C0)
+        ds = synthesize_ring_dataset(
+            true_vel, grid, acq_cfg, f=F, seed=0,
+            solver=dataclasses.replace(SOLVER, pml=PMLConfig(l_pml=2.4e-3)))
+        acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                     y_elem=ds.y_circ)
+        data = build_fwi_data(acq, ds.rec_data, F)
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        res = nonlinear_cg(vel0, data, grid, solver,
                            FWIConfig(num_iterations=2))
         losses = np.array(res.metrics.loss)
         assert np.all(np.isfinite(losses))

@@ -124,11 +124,15 @@ def gmres(a_op: Callable, b: jnp.ndarray, m_inv: Callable | None = None,
     def body(st: State):
         x_new = _gmres_cycle(a_op, m_inv, st.x, st.r, restart)
         r_new = b - a_op(x_new)
-        # Monotonicity guard per lane (f32 safety).
-        worse = _norm2(r_new) > _norm2(st.r)
-        wf = worse[:, None, None]
-        return State(x=jnp.where(wf, st.x, x_new),
-                     r=jnp.where(wf, st.r, r_new),
+        # Monotonicity guard per lane, NaN-safe: a cycle is accepted only if
+        # its residual is finite AND no worse (a QR of a fully-converged
+        # lane's zero Krylov basis can produce NaN; `NaN > x` is False, so a
+        # plain 'worse' test would silently accept the NaN iterate).
+        res_new = _norm2(r_new)
+        accept = (res_new <= _norm2(st.r)) & jnp.isfinite(res_new)
+        af = accept[:, None, None]
+        return State(x=jnp.where(af, x_new, st.x),
+                     r=jnp.where(af, r_new, st.r),
                      matvecs=st.matvecs + restart + 1)
 
     final = jax.lax.while_loop(cond, body, State(x, r, jnp.int32(0)))
