@@ -271,3 +271,43 @@ class TestBilinearPlacement:
                              FWIConfig(num_iterations=3))
         err_near = _recon_error(res_n.velocity, true_coarse, coarse)
         assert err_bi < 0.5 * err_near, (err_bi, err_near)
+
+
+class TestJointMultiFrequency:
+    def test_joint_inversion_beats_single_frequency(self):
+        """Joint multi-frequency CG (summed gradients/misfits over the
+        frequency axis) — BASELINE config 3's source x frequency batch."""
+        import numpy as np
+        from waveforminversionust_tpu.fwi.multifreq import (
+            nonlinear_cg_multifreq, stack_frequencies)
+        from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                                 snap_to_grid)
+
+        coarse = Grid2D.centered(24e-3, 0.8e-3)
+        xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+        xi, yi = snap_to_grid(coarse, xe, ye)
+        xs, ys = coarse.x[xi], coarse.y[yi]
+        fine = Grid2D.centered(24e-3, 0.4e-3)
+        true_vel_f = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+
+        acq = build_ring_acquisition(coarse, ACQ, x_elem=xs, y_elem=ys)
+        freqs = (120e3, 200e3)
+        datas = []
+        for fq in freqs:
+            ds = synthesize_ring_dataset(true_vel_f, fine, ACQ, f=fq, seed=3,
+                                         solver=SOLVER, x_elem=xs, y_elem=ys)
+            datas.append(build_fwi_data(acq, ds.rec_data, fq))
+        mf = stack_frequencies(datas)
+
+        vel0 = jnp.full(coarse.shape, C0, jnp.float32)
+        vel, metrics = nonlinear_cg_multifreq(vel0, mf, coarse, SOLVER,
+                                              FWIConfig(num_iterations=4))
+        losses = np.asarray(metrics.loss)
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < 0.5 * losses[0]
+
+        true_coarse = smooth_blob_phantom(coarse, radius=8e-3, dc=30,
+                                          c_bkgnd=C0)
+        err0 = _recon_error(np.full(coarse.shape, C0), true_coarse, coarse)
+        err_joint = _recon_error(vel, true_coarse, coarse)
+        assert err_joint < 0.6 * err0, (err_joint, err0)

@@ -1,0 +1,170 @@
+"""Joint multi-frequency FWI: one inversion fitting several frequencies at
+once (summed misfits, summed gradients).
+
+This is the batched source x frequency workload of BASELINE.json config 3,
+beyond both the reference (single frequency; SURVEY.md section 2 'Frequency
+parallelism') and sequential continuation (:mod:`.runner`): every CG
+iteration solves forward/adjoint/line-search systems at *all* schedule
+frequencies and reduces over the frequency axis:
+
+    loss  = sum_f 0.5 ||residual_f||^2
+    grad  = sum_f grad_f                       (adjoint state per frequency)
+    step  = sum_f Re<drec_f, -residual_f> / sum_f ||drec_f||^2
+
+Each frequency needs its own operator/factorization, so frequencies are
+mapped with ``lax.map`` (sequential per device — batched complex LU is not
+available on the targeted TPU runtime) and shard naturally over a mesh
+'freq' axis by running the map body under shot/freq sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FWIConfig, SolverConfig
+from ..models.grid import Grid2D
+from ..ops import cpx
+from ..ops.cpx import Cpx
+from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
+from .objective import (FWIData, estimate_source_strengths, misfit,
+                        sample_receivers, scatter_to_fields, virtual_source)
+from .optimizers import CGMetrics, _momentum, _step_size
+
+
+class MultiFreqData(NamedTuple):
+    """Frequency-stacked inversion inputs.
+
+    rec_obs has a leading frequency axis: (nf, ntx, n_active); src and the
+    receiver stencils are frequency-independent. Build one FWIData per
+    frequency with :func:`..objective.build_fwi_data` and stack with
+    :func:`stack_frequencies`.
+    """
+
+    src: jnp.ndarray          # (ntx, ny, nx) or Cpx
+    rec_obs: jnp.ndarray      # (nf, ntx, n_active) or Cpx
+    rx_y: jnp.ndarray
+    rx_x: jnp.ndarray
+    freqs: jnp.ndarray        # (nf,)
+    rx_w: jnp.ndarray | None = None
+
+
+def stack_frequencies(datas: list[FWIData]) -> MultiFreqData:
+    """Stack per-frequency FWIData (same acquisition) into MultiFreqData."""
+    first = datas[0]
+    if isinstance(first.rec_obs, Cpx):
+        rec = cpx.stack([d.rec_obs for d in datas])
+    else:
+        rec = jnp.stack([d.rec_obs for d in datas])
+    return MultiFreqData(
+        src=first.src,
+        rec_obs=rec,
+        rx_y=first.rx_y,
+        rx_x=first.rx_x,
+        freqs=jnp.stack([d.f for d in datas]),
+        rx_w=first.rx_w,
+    )
+
+
+@partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations"))
+def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
+                           solver: SolverConfig = SolverConfig(),
+                           fwi: FWIConfig = FWIConfig(),
+                           num_iterations: int | None = None):
+    """Joint multi-frequency nonlinear-CG inversion (one jitted scan).
+
+    Returns (velocity, CGMetrics history). Cost per iteration is nf
+    single-frequency iterations (one factorization per frequency).
+    """
+    n_iter = fwi.num_iterations if num_iterations is None else num_iterations
+    vel0 = jnp.asarray(vel_init, jnp.float32)
+
+    def per_freq_forward(vel, slow, f, rec_obs):
+        """Forward solve + adjoint-state gradient pieces at one frequency."""
+        op = make_helmholtz_operator(vel, f, grid, solver)
+        wv = helmholtz_operator_solve(op, data.src, grid, solver)
+        rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
+        if fwi.estimate_source_strength:
+            s_est = estimate_source_strengths(rec_sim, rec_obs)
+            if isinstance(wv, Cpx):
+                wv = cpx.mul(wv, s_est[:, None, None])
+                rec_sim = cpx.mul(rec_sim, s_est[:, None])
+            else:
+                wv = wv * s_est[:, None, None]
+                rec_sim = rec_sim * s_est[:, None]
+        residual = rec_sim - rec_obs
+        loss = misfit(rec_sim, rec_obs)
+        adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x,
+                                    grid.shape, data.rx_w)
+        adj_wv = helmholtz_operator_solve(op, adj_src, grid, solver,
+                                          adjoint=True)
+        virt = virtual_source(slow, wv, f)
+        if isinstance(virt, Cpx):
+            grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
+        else:
+            grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
+        return loss, grad, virt, residual, rec_sim
+
+    def per_freq_linesearch(vel, f, virt, sd):
+        op = make_helmholtz_operator(vel, f, grid, solver)
+        if isinstance(virt, Cpx):
+            pert_src = cpx.scale(virt, -sd[None])
+        else:
+            pert_src = -virt * sd[None].astype(jnp.complex64)
+        pert = helmholtz_operator_solve(op, pert_src, grid, solver)
+        return sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
+
+    def step(state, it):
+        vel, slow, sd, gprev = state
+
+        def fwd_f(f_and_rec):
+            f, rec_obs = f_and_rec
+            loss, grad, virt, residual, rec_sim = per_freq_forward(
+                vel, slow, f, rec_obs)
+            return loss, grad, virt, residual, rec_sim
+
+        losses, grads, virts, residuals, rec_sims = jax.lax.map(
+            fwd_f, (data.freqs, data.rec_obs))
+        loss = jnp.sum(losses)
+        grad = jnp.sum(grads, axis=0)
+
+        beta = _momentum(fwi.momentum, it, grad, gprev, sd, fwi.eps_stabilizer)
+        sd_new = beta * sd - grad
+
+        def ls_f(f_and_virt):
+            f, virt = f_and_virt
+            return per_freq_linesearch(vel, f, virt, sd_new)
+
+        drecs = jax.lax.map(ls_f, (data.freqs, virts))
+
+        # Frequency-summed line search (generalizes the single-frequency
+        # formulas; the inner products reduce over the leading nf axis too).
+        step_sz = _step_size(fwi.step_size, drecs, data.rec_obs, rec_sims,
+                             grad, sd_new, fwi.eps_stabilizer)
+
+        slow_new = slow + step_sz * sd_new
+        vel_new = 1.0 / slow_new
+        if fwi.clip_velocity is not None:
+            lo, hi = fwi.clip_velocity
+            vel_new = jnp.clip(vel_new, lo, hi)
+            slow_new = 1.0 / vel_new
+        if fwi.reject_nonfinite:
+            ok = (jnp.isfinite(step_sz) & jnp.isfinite(beta)
+                  & jnp.all(jnp.isfinite(slow_new)))
+            vel_new = jnp.where(ok, vel_new, vel)
+            slow_new = jnp.where(ok, slow_new, slow)
+            sd_new = jnp.where(ok, sd_new, sd)
+            step_sz = jnp.where(ok, step_sz, 0.0)
+
+        metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
+                            beta=beta, step_size=step_sz)
+        return (vel_new, slow_new, sd_new, grad), metrics
+
+    init = (vel0, 1.0 / vel0, jnp.zeros(grid.shape, jnp.float32),
+            jnp.zeros(grid.shape, jnp.float32))
+    (vel, _, _, _), metrics = jax.lax.scan(step, init, jnp.arange(n_iter))
+    return vel, metrics
+
