@@ -258,3 +258,35 @@ def test_split_synthesize_matches_native():
                                                               split_complex=True))
     np.testing.assert_allclose(ds_s.rec_data, ds_n.rec_data,
                                atol=2e-5 * np.abs(ds_n.rec_data).max())
+
+
+def test_schulz_hybrid_factor_matches_exact(rng):
+    """Opt-in warm-started Newton-Schulz factorization (with per-row exact
+    fallback) matches the exact factorization's solve residuals."""
+    grid, vel, _ = _setup(rng, nxh=24e-3)
+    ny, nx = grid.shape
+    src = np.zeros((2, ny, nx), np.complex64)
+    src[0, ny // 2, nx // 2] = 1.0
+    src[1, ny // 3, 2 * nx // 3] = 1.0
+    coeffs = helmholtz_coefficients_cpx(vel, grid, jnp.float32(F), PML)
+    s = cpx.of(src)
+    for steps in (0, 4):
+        fac = banded_factor_cpx(coeffs, schulz_steps=steps)
+        x = banded_solve_cpx(fac, s)
+        r = s - h_apply_cpx(coeffs, x)
+        rel = np.sqrt(np.asarray(
+            jnp.sum(cpx.abs2(r), axis=(1, 2)) / jnp.sum(cpx.abs2(s), axis=(1, 2))))
+        assert rel.max() < 1e-4, (steps, rel)
+
+    # rough model (worst case for the warm start): the fallback must keep
+    # the solve finite and accurate
+    vel_rough = vel + 40 * rng.standard_normal(grid.shape).astype(np.float32)
+    coeffs_r = helmholtz_coefficients_cpx(jnp.clip(vel_rough, 1350, 1700),
+                                          grid, jnp.float32(F), PML)
+    fac = banded_factor_cpx(coeffs_r, schulz_steps=4)
+    x = banded_solve_cpx(fac, s)
+    r = s - h_apply_cpx(coeffs_r, x)
+    rel = np.sqrt(np.asarray(
+        jnp.sum(cpx.abs2(r), axis=(1, 2)) / jnp.sum(cpx.abs2(s), axis=(1, 2))))
+    assert np.isfinite(rel).all()
+    assert rel.max() < 1e-2, rel

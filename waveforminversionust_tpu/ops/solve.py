@@ -142,12 +142,12 @@ def _shift_cpx(u: Cpx, dy, dx):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _fd_solve_cpx(coeffs: Cpx, rhs: Cpx, grid: Grid2D, cfg: SolverConfig):
-    factor = banded_factor_cpx(coeffs)
+    factor = banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
     return _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
 
 
 def _fd_solve_cpx_fwd(coeffs, rhs, grid, cfg):
-    factor = banded_factor_cpx(coeffs)
+    factor = banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
     u = _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
     return u, (coeffs, u, factor)
 
@@ -296,7 +296,7 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
         if cfg.method == SolverMethod.GMRES:
             raise NotImplementedError("split_complex GMRES-on-FD not available")
         coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil)
-        factor = (banded_factor_cpx(coeffs)
+        factor = (banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
                   if cfg.method == SolverMethod.BANDED else None)
         precond = None
     else:

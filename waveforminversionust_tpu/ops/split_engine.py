@@ -204,12 +204,48 @@ def _row_op_lm_cpx(main: Cpx, sub: Cpx, sup: Cpx, m: Cpx) -> Cpx:
     return cpx.mul(mn, m) + cpx.mul(sb, m_up) + cpx.mul(sp, m_down)
 
 
-def banded_factor_cpx(coeffs: Cpx) -> BandedFactorCpx:
-    """Split-complex block-Thomas factorization (cf. banded.banded_factor)."""
+def _schulz_refine(g: Cpx, s_mat: Cpx, steps: int):
+    """Newton-Schulz iteration X <- X (2I - S X): quadratic convergence to
+    S^-1 when ||I - S X0|| < 1. Used with the previous row's inverse as X0
+    (the Schur complements converge along y: measured median
+    ||I - S_y G_{y-1}|| ~ 0.01 on the reference workload away from the
+    boundary rows).
+
+    Returns (g, err2): err2 is mean |I - S X_{k-1}|^2 from the final step's
+    own intermediate (no extra matmul); since the residual squares each
+    step, the returned iterate's residual is ~err2 — used by the caller to
+    fall back to an exact inverse when the warm start was outside the
+    convergence basin (e.g. rows where the model changes sharply)."""
+    n = g.re.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    err2 = jnp.float32(jnp.inf)
+    for _ in range(steps):
+        t = cpx.matmul(s_mat, g)
+        t = Cpx(2.0 * eye - t.re, -t.im)
+        err2 = jnp.mean((t.re - eye) ** 2 + t.im ** 2)
+        g = cpx.matmul(g, t)
+    return g, err2
+
+
+def banded_factor_cpx(coeffs: Cpx, schulz_steps: int = 0,
+                      exact_head: int = 12, exact_tail: int = 2,
+                      exact_every: int = 16) -> BandedFactorCpx:
+    """Split-complex block-Thomas factorization (cf. banded.banded_factor).
+
+    ``schulz_steps > 0`` enables the hybrid factorization: most rows compute
+    the Schur-complement inverse by warm-started Newton-Schulz (MXU matmuls,
+    ~2.5x faster than the LU-based inverse on the targeted runtime) and only
+    the boundary-adjacent rows (where the Schur complement changes fast) plus
+    every ``exact_every``-th row (error-compounding reset) use the exact
+    inverse. Validated against the exact factorization in
+    tests/test_split_engine.py.
+    """
     c = coeffs
+    ny = c.re.shape[1]
     g0 = cpx.inv(_tri_dense_cpx(c[0, 0], c[1, 0], c[2, 0]))
 
     xs = dict(
+        it=jnp.arange(1, ny),
         d_main=c[0, 1:], d_sub=c[1, 1:], d_sup=c[2, 1:],
         l_main=c[3, 1:], l_sub=c[5, 1:], l_sup=c[6, 1:],
         u_main_prev=c[4, :-1], u_sub_prev=c[7, :-1], u_sup_prev=c[8, :-1],
@@ -220,7 +256,22 @@ def banded_factor_cpx(coeffs: Cpx) -> BandedFactorCpx:
                             row["u_sup_prev"])
         lgu = _row_op_lm_cpx(row["l_main"], row["l_sub"], row["l_sup"], gu)
         s_mat = _tri_dense_cpx(row["d_main"], row["d_sub"], row["d_sup"]) - lgu
-        g = cpx.inv(s_mat)
+        if schulz_steps <= 0:
+            g = cpx.inv(s_mat)
+        else:
+            it = row["it"]
+            g_try, err2 = _schulz_refine(g_prev, s_mat, schulz_steps)
+            # Exact inverse for boundary-adjacent rows, periodic resets, and
+            # any row whose warm start left the Schulz convergence basin
+            # (err2 tracks the iterate's own residual; NaN/inf => diverged).
+            use_exact = ((it < exact_head) | (it >= ny - exact_tail)
+                         | (it % exact_every == 0)
+                         | ~jnp.isfinite(err2) | (err2 > 1e-6))
+            g = jax.lax.cond(
+                use_exact,
+                lambda args: cpx.inv(args[0]),
+                lambda args: args[1],
+                (s_mat, g_try))
         return g, g
 
     _, g_rest = jax.lax.scan(step, g0, xs)
