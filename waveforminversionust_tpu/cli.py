@@ -46,9 +46,17 @@ def _cmd_run(args):
         radius=args.radius or 110e-3,
         num_excluded_each_side=args.exclude,
         interpolation=args.interpolation)}
-    res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
-                         continuation=continuation, callback=callback,
-                         **acq_kwargs)
+    if args.profile:
+        from .utils.profiling import trace
+        with trace(args.profile):
+            res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
+                                 continuation=continuation, callback=callback,
+                                 **acq_kwargs)
+        print("profiler trace written to", args.profile)
+    else:
+        res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
+                             continuation=continuation, callback=callback,
+                             **acq_kwargs)
     print("loss history:", np.array2string(res.metrics["loss"], precision=3))
     if ds.c is not None:
         true_grid = Grid2D.from_arrays(ds.x, ds.y)
@@ -135,6 +143,8 @@ def main(argv=None):
     pr.add_argument("--interpolation", choices=["nearest", "bilinear"],
                     default="nearest",
                     help="element placement; bilinear removes snapping error")
+    pr.add_argument("--profile", default=None,
+                    help="capture a jax.profiler trace to this directory")
     pr.set_defaults(fn=_cmd_run)
 
     ps = sub.add_parser("simulate", help="synthesize a ring dataset")
