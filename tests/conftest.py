@@ -14,6 +14,14 @@ os.environ.setdefault("XLA_FLAGS",
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-dominated (the banded
+# factorization scans take tens of seconds to compile); repeat runs reuse
+# executables keyed by HLO hash. The populated cache (a few MB) is committed
+# so fresh checkouts on the same container image run the suite ~2x faster;
+# it is content-addressed, so a mismatching environment just recompiles.
+_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -28,11 +28,13 @@ class FWIData(NamedTuple):
     """Device-resident inversion inputs (a pytree; safe to close over jit).
 
     Attributes:
-        src: (ntx, ny, nx) complex64 one-hot transmit sources.
-        rec_obs: (ntx, n_active) complex64 observed data, masked to the
-            acceptance angle (gathered from the (ntx, num_elements) recorded
-            matrix once at setup).
-        rx_y, rx_x: (ntx, n_active) int32 receiver pixel indices.
+        src: (ntx, ny, nx) transmit source fields — complex64, or a
+            :class:`~..ops.cpx.Cpx` float-pair in split mode.
+        rec_obs: (ntx, n_active) observed data (complex64 or Cpx), masked to
+            the acceptance angle (gathered from the (ntx, num_elements)
+            recorded matrix once at setup).
+        rx_y, rx_x: (ntx, n_active) int32 receiver pixel indices
+            ((ntx, n_active, 4) corner stencils in bilinear mode).
         f: scalar frequency [Hz].
     """
 
