@@ -69,3 +69,18 @@ def test_simulate_time_domain_smoke():
     early = np.abs(res.channel_data[res.times < 0.4 * t_arr, 8]).max()
     late = np.abs(res.channel_data[res.times > t_arr, 8]).max()
     assert late > 4 * early
+
+
+def test_time_domain_split_matches_native():
+    import dataclasses
+    grid = Grid2D.centered(12e-3, 1.0e-3)
+    vel = smooth_blob_phantom(grid, radius=4e-3, dc=30)
+    kwargs = dict(element_idx=0, f_low=0.2e6, f_high=0.3e6, df=0.05e6,
+                  nt=11, num_elements=8, radius=9e-3)
+    solver = SolverConfig(pml=PMLConfig(l_pml=2e-3))
+    res_n = simulate_time_domain(vel, grid, solver=solver, **kwargs)
+    res_s = simulate_time_domain(
+        vel, grid, solver=dataclasses.replace(solver, split_complex=True),
+        **kwargs)
+    np.testing.assert_allclose(res_s.channel_data, res_n.channel_data,
+                               atol=2e-5 * np.abs(res_n.channel_data).max())

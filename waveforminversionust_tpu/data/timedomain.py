@@ -22,6 +22,8 @@ import numpy as np
 
 from ..config import SolverConfig
 from ..models.grid import Grid2D
+from ..ops import cpx
+from ..ops.cpx import Cpx
 from ..ops.solve import solve_helmholtz
 
 
@@ -52,7 +54,11 @@ def frequency_sweep(vel, src, freqs, grid: Grid2D,
     sweeps.
     """
     vel = jnp.asarray(vel, jnp.float32)
-    src_b = jnp.asarray(src, jnp.complex64)[None]
+    if solver.split_complex:
+        s0 = cpx.of(src)
+        src_b = Cpx(s0.re[None], s0.im[None])
+    else:
+        src_b = jnp.asarray(src, jnp.complex64)[None]
 
     def body(_, f):
         u, _info = solve_helmholtz(vel, src_b, f, grid, solver)
@@ -76,15 +82,29 @@ def synthesize_time_fields(fields_f, freqs, times, df, spectrum):
 
     wv_t[t] = sum_f exp(i 2 pi f t) df * spectrum[f] * wv_f[f] — one dense
     (nt, nf) @ (nf, ny*nx) complex matmul (reference:
-    TimeDomainSimulation.m:53-56 pagemtimes).
-
-    Returns (nt, ny, nx) complex64.
+    TimeDomainSimulation.m:53-56 pagemtimes). Polymorphic over complex64 /
+    split-complex fields; returns the same representation.
     """
+    if isinstance(fields_f, Cpx):
+        nf, ny, nx = fields_f.shape
+        idtft = inverse_dtft_matrix_cpx(freqs, times, df)
+        w = jnp.asarray(spectrum, jnp.float32)[:, None, None]
+        weighted = cpx.scale(fields_f, w)
+        flat = cpx.apply_parts(lambda p: p.reshape(nf, ny * nx), weighted)
+        out = cpx.matmul(idtft, flat)
+        return cpx.apply_parts(lambda p: p.reshape(-1, ny, nx), out)
     nf, ny, nx = fields_f.shape
     idtft = inverse_dtft_matrix(freqs, times, df)
     weighted = fields_f * jnp.asarray(spectrum, jnp.complex64)[:, None, None]
     out = idtft @ weighted.reshape(nf, ny * nx)
     return out.reshape(-1, ny, nx)
+
+
+def inverse_dtft_matrix_cpx(freqs, times, df) -> Cpx:
+    f = jnp.asarray(freqs, jnp.float32)
+    t = jnp.asarray(times, jnp.float32)
+    ph = 2 * jnp.pi * f[None, :] * t[:, None]
+    return Cpx(jnp.cos(ph) * df, jnp.sin(ph) * df)
 
 
 class TimeDomainResult(NamedTuple):
@@ -121,7 +141,11 @@ def simulate_time_domain(vel, grid: Grid2D, element_idx: int = 64,
     fields_t = synthesize_time_fields(fields_f, freqs, times, df, window)
 
     # channel data: sample at all element pixels over time
-    rec = fields_t[:, y_idx, x_idx]
-    from ..utils.host import fetch
+    if isinstance(fields_t, Cpx):
+        rec = fields_t[:, y_idx, x_idx]
+        channel = cpx.to_numpy(rec)
+    else:
+        from ..utils.host import fetch
+        channel = fetch(fields_t[:, y_idx, x_idx])
     return TimeDomainResult(times=times, freqs=freqs, wavefields_t=fields_t,
-                            channel_data=fetch(rec))
+                            channel_data=channel)

@@ -128,7 +128,7 @@ def plot_time_snapshots(grid: Grid2D, result, n_frames: int = 6,
     picks = np.linspace(0, nt - 1, n_frames).astype(int)
     fig, axs = plt.subplots(1, n_frames + 1, figsize=(3.2 * (n_frames + 1), 3.2))
     for ax, ti in zip(axs[:-1], picks):
-        frame = fetch(result.wavefields_t[ti]).real
+        frame = as_numpy_complex(result.wavefields_t[ti]).real
         scale = max(np.abs(frame).max(), 1e-30)
         imagesc(ax, grid, frame, (-scale, scale),
                 title=f"t = {result.times[ti] * 1e6:.1f} us", colorbar=False)
