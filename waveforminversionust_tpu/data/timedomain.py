@@ -140,12 +140,17 @@ def simulate_time_domain(vel, grid: Grid2D, element_idx: int = 64,
     fields_f = frequency_sweep(vel, src, freqs, grid, solver)
     fields_t = synthesize_time_fields(fields_f, freqs, times, df, window)
 
-    # channel data: sample at all element pixels over time
+    # channel data: sample at all element pixels over time. The gather runs
+    # jitted (eager gathers are unreliable on the targeted TPU runtime) and
+    # returns real planes only.
+    yj = np.asarray(y_idx)  # numpy: jit embeds host constants directly
+    xj = np.asarray(x_idx)
     if isinstance(fields_t, Cpx):
-        rec = fields_t[:, y_idx, x_idx]
-        channel = cpx.to_numpy(rec)
+        gre, gim = jax.jit(lambda ft: (ft.re[:, yj, xj], ft.im[:, yj, xj]))(fields_t)
     else:
-        from ..utils.host import fetch
-        channel = fetch(fields_t[:, y_idx, x_idx])
+        gre, gim = jax.jit(
+            lambda ft: (jnp.real(ft)[:, yj, xj], jnp.imag(ft)[:, yj, xj]))(fields_t)
+    channel = (np.asarray(jax.device_get(gre))
+               + 1j * np.asarray(jax.device_get(gim)))
     return TimeDomainResult(times=times, freqs=freqs, wavefields_t=fields_t,
                             channel_data=channel)
