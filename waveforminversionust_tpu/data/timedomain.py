@@ -35,7 +35,6 @@ def hanning_window(n: int) -> np.ndarray:
     return 0.5 * (1 - np.cos(2 * np.pi * k / (n + 1)))
 
 
-@partial(jax.jit, static_argnames=("grid", "solver"))
 def frequency_sweep(vel, src, freqs, grid: Grid2D,
                     solver: SolverConfig = SolverConfig()):
     """Solve the Helmholtz equation at each frequency (single source field).
@@ -55,16 +54,23 @@ def frequency_sweep(vel, src, freqs, grid: Grid2D,
     """
     vel = jnp.asarray(vel, jnp.float32)
     if solver.split_complex:
-        s0 = cpx.of(src)
+        # Split on the host: complex arrays entering jit as arguments are a
+        # liability on TPU runtimes with partial complex64 support.
+        s0 = cpx.of(np.asarray(src)) if not isinstance(src, Cpx) else src
         src_b = Cpx(s0.re[None], s0.im[None])
     else:
         src_b = jnp.asarray(src, jnp.complex64)[None]
+    return _frequency_sweep_jit(vel, src_b, jnp.asarray(freqs, jnp.float32),
+                                grid, solver)
 
+
+@partial(jax.jit, static_argnames=("grid", "solver"))
+def _frequency_sweep_jit(vel, src_b, freqs, grid, solver):
     def body(_, f):
         u, _info = solve_helmholtz(vel, src_b, f, grid, solver)
         return None, u[0]
 
-    _, fields = jax.lax.scan(body, None, jnp.asarray(freqs, jnp.float32))
+    _, fields = jax.lax.scan(body, None, freqs)
     return fields
 
 
