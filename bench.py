@@ -23,6 +23,8 @@ N_ITER = 10
 
 
 def _load_or_synthesize():
+    import jax
+
     from waveforminversionust_tpu import (AcquisitionConfig, Grid2D,
                                           SolverConfig)
     from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
@@ -34,8 +36,10 @@ def _load_or_synthesize():
     # Fallback: synthesize an equivalent dataset (same ring, 0.6 mm grid).
     fine = Grid2D.centered(120e-3, 0.6e-3)
     vel = breast_phantom(fine)
+    split = jax.devices()[0].platform != "cpu"
     return synthesize_ring_dataset(vel, fine, AcquisitionConfig(), f=350e3,
-                                   solver=SolverConfig(), seed=0)
+                                   solver=SolverConfig(split_complex=split),
+                                   seed=0)
 
 
 def main():

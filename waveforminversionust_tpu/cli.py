@@ -40,7 +40,8 @@ def _cmd_run(args):
     if args.checkpoint_dir:
         from .utils.checkpoint import make_stage_checkpointer
         callback = make_stage_checkpointer(args.checkpoint_dir)
-    from .config import AcquisitionConfig
+    from .config import AcquisitionConfig, SolverConfig, SolverMethod
+    solver = SolverConfig(method=SolverMethod(args.solver_method))
     acq_kwargs = {"acquisition": AcquisitionConfig(
         num_elements=args.elements or 256,
         radius=args.radius or 110e-3,
@@ -49,12 +50,14 @@ def _cmd_run(args):
     if args.profile:
         from .utils.profiling import trace
         with trace(args.profile):
-            res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
+            res = invert_dataset(ds, grid=grid, solver=solver, fwi=fwi,
+                                 method=args.method,
                                  continuation=continuation, callback=callback,
                                  **acq_kwargs)
         print("profiler trace written to", args.profile)
     else:
-        res = invert_dataset(ds, grid=grid, fwi=fwi, method=args.method,
+        res = invert_dataset(ds, grid=grid, solver=solver, fwi=fwi,
+                             method=args.method,
                              continuation=continuation, callback=callback,
                              **acq_kwargs)
     print("loss history:", np.array2string(res.metrics["loss"], precision=3))
@@ -145,6 +148,8 @@ def main(argv=None):
                     help="element placement; bilinear removes snapping error")
     pr.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace to this directory")
+    pr.add_argument("--solver-method", choices=["banded", "born", "gmres"],
+                    default="banded", help="Helmholtz solver")
     pr.set_defaults(fn=_cmd_run)
 
     ps = sub.add_parser("simulate", help="synthesize a ring dataset")
