@@ -23,12 +23,11 @@ N_ITER = 10
 
 
 def _load_or_synthesize():
-    import jax
-
     from waveforminversionust_tpu import (AcquisitionConfig, Grid2D,
                                           SolverConfig)
     from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
     from waveforminversionust_tpu.models.phantom import breast_phantom
+    from waveforminversionust_tpu.ops.solve import auto_split
 
     if os.path.exists(REFERENCE_DATA):
         from waveforminversionust_tpu.data.matio import load_recorded_dataset
@@ -36,10 +35,8 @@ def _load_or_synthesize():
     # Fallback: synthesize an equivalent dataset (same ring, 0.6 mm grid).
     fine = Grid2D.centered(120e-3, 0.6e-3)
     vel = breast_phantom(fine)
-    split = jax.devices()[0].platform != "cpu"
     return synthesize_ring_dataset(vel, fine, AcquisitionConfig(), f=350e3,
-                                   solver=SolverConfig(split_complex=split),
-                                   seed=0)
+                                   solver=auto_split(SolverConfig()), seed=0)
 
 
 def main():

@@ -78,33 +78,37 @@ def _cmd_run(args):
 
 
 def _cmd_simulate(args):
-    from .config import AcquisitionConfig
+    from .config import AcquisitionConfig, SolverConfig
     from .data.matio import save_recorded_dataset
     from .data.synthesize import synthesize_ring_dataset
     from .models.grid import Grid2D
     from .models.phantom import breast_phantom
+    from .ops.solve import auto_split
 
     grid = Grid2D.centered(args.xmax, args.dx)
     vel = breast_phantom(grid, seed=args.seed)
     acq = AcquisitionConfig(num_elements=args.elements, radius=args.radius)
     ds = synthesize_ring_dataset(vel, grid, acq, f=args.frequency,
-                                 seed=args.seed)
+                                 seed=args.seed, solver=auto_split(SolverConfig()))
     save_recorded_dataset(args.out, ds)
     print(f"dataset written to {args.out}: grid {grid.shape}, "
           f"{args.elements} elements, f={args.frequency / 1e3:.0f} kHz")
 
 
 def _cmd_timedomain(args):
+    from .config import SolverConfig
     from .data.timedomain import simulate_time_domain
     from .models.grid import Grid2D
     from .models.phantom import breast_phantom
+    from .ops.solve import auto_split
     from . import viz
 
     grid = Grid2D.centered(args.xmax, args.dx)
     vel = breast_phantom(grid, seed=args.seed)
     res = simulate_time_domain(vel, grid, element_idx=args.element,
                                num_elements=args.elements,
-                               radius=args.radius)
+                               radius=args.radius,
+                               solver=auto_split(SolverConfig()))
     print(f"synthesized {res.wavefields_t.shape[0]} time frames over "
           f"{len(res.freqs)} frequencies")
     if args.plot:

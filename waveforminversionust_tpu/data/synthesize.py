@@ -114,6 +114,10 @@ def synthesize_ring_dataset(vel, grid: Grid2D,
 
 def dataclass_replace_tx_all(acquisition: AcquisitionConfig) -> AcquisitionConfig:
     """Synthesis always transmits from every element (downsampling is an
-    inversion-side choice; reference: SimulateData.m loops all elements)."""
+    inversion-side choice; reference: SimulateData.m loops all elements) and
+    records the FULL rx matrix, so the acceptance mask — an inversion-side
+    concept — is dropped (it can otherwise reject small-element-count
+    configurations that are perfectly fine to simulate)."""
     import dataclasses
-    return dataclasses.replace(acquisition, tx_downsample=1)
+    return dataclasses.replace(acquisition, tx_downsample=1,
+                               num_excluded_each_side=0)

@@ -15,6 +15,7 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.solve import auto_split
 from ..config import (AcquisitionConfig, ContinuationConfig, FWIConfig,
                       SolverConfig)
 from ..models.acquisition import build_ring_acquisition
@@ -72,8 +73,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     # Auto-select the split-complex engine off-CPU (see ops.cpx), unless the
     # caller pinned it explicitly in the solver config.
     import jax as _jax
-    if not solver.split_complex and _jax.devices()[0].platform != "cpu":
-        solver = dataclasses.replace(solver, split_complex=True)
+    solver = auto_split(solver)
 
     if continuation is None or not continuation.frequencies:
         stages = [(float(ds0.f), int(fwi.num_iterations))]

@@ -190,6 +190,12 @@ def build_ring_acquisition(grid: Grid2D, config: AcquisitionConfig,
 
     # Every row has the same number of active receivers by construction.
     n_active = int(include_mask[0].sum())
+    if n_active == 0:
+        raise ValueError(
+            f"acceptance mask leaves 0 active receivers: excluding "
+            f"±{config.num_excluded_each_side} of {n} ring elements wraps the "
+            f"whole ring. Lower AcquisitionConfig.num_excluded_each_side "
+            f"(the default 31 assumes the reference's 256-element array).")
     rx_indices = np.stack(
         [np.flatnonzero(include_mask[i]).astype(np.int32) for i in range(len(tx_include))]
     )

@@ -406,6 +406,23 @@ def build_operator(vel, f, grid: Grid2D, cfg: SolverConfig = SolverConfig(),
     return coeffs, precond
 
 
+def auto_split(config: SolverConfig) -> SolverConfig:
+    """Turn on split-complex off-CPU.
+
+    The targeted TPU runtime implements complex64 only for compute ops;
+    complex data movement and D2H transfers are UNIMPLEMENTED, so any
+    end-to-end path on an accelerator must use the split engine. CPU keeps
+    the native-complex path (it is the oracle the split engine is tested
+    against)."""
+    import dataclasses
+
+    import jax
+
+    if not config.split_complex and jax.devices()[0].platform != "cpu":
+        return dataclasses.replace(config, split_complex=True)
+    return config
+
+
 def solve_helmholtz(vel, src, f, grid: Grid2D,
                     config: SolverConfig = SolverConfig(),
                     adjoint: bool = False, x0=None):
