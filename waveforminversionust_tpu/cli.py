@@ -30,7 +30,8 @@ def _cmd_run(args):
         grid = Grid2D.centered(args.grid_xmax, args.grid_dx)
     fwi = FWIConfig(c_init=args.c_init, num_iterations=args.iterations,
                     momentum=MomentumFormula(args.momentum),
-                    step_size=StepSizeFormula(args.step_formula))
+                    step_size=StepSizeFormula(args.step_formula),
+                    reg_tikhonov=args.reg_tikhonov, reg_tv=args.reg_tv)
     continuation = None
     if args.frequencies:
         continuation = ContinuationConfig(
@@ -154,6 +155,10 @@ def main(argv=None):
                     help="capture a jax.profiler trace to this directory")
     pr.add_argument("--solver-method", choices=["banded", "born", "gmres"],
                     default="banded", help="Helmholtz solver")
+    pr.add_argument("--reg-tikhonov", type=float, default=0.0,
+                    help="smoothing regularization weight (0-1, rel. to data gradient)")
+    pr.add_argument("--reg-tv", type=float, default=0.0,
+                    help="total-variation regularization weight")
     pr.set_defaults(fn=_cmd_run)
 
     ps = sub.add_parser("simulate", help="synthesize a ring dataset")

@@ -164,6 +164,11 @@ class FWIConfig:
     # convergence, nonlinearcg.py:28,133):
     reject_nonfinite: bool = True  # skip an update that would produce NaN/inf
     clip_velocity: Optional[Tuple[float, float]] = None  # physical bounds [m/s]
+    # Model-space regularization (absent from the reference; see
+    # fwi.regularization for the per-optimizer weighting conventions).
+    reg_tikhonov: float = 0.0  # first-order smoothing weight
+    reg_tv: float = 0.0        # total-variation weight
+    reg_tv_eps: float = 1.0    # TV smoothing epsilon [m/s per pixel]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import SolverConfig
+from ..config import FWIConfig, SolverConfig
 from ..models.grid import Grid2D
 from ..ops.solve import solve_helmholtz
 from .objective import (FWIData, estimate_source_strengths, misfit,
@@ -52,11 +52,12 @@ def fwi_loss(slowness_flat, data: FWIData, grid: Grid2D,
 
 
 @partial(jax.jit, static_argnames=("grid", "solver", "num_iterations",
-                                   "memory_size", "estimate_sources"))
+                                   "memory_size", "estimate_sources", "fwi"))
 def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
               solver: SolverConfig = SolverConfig(),
               num_iterations: int = 10, memory_size: int = 10,
-              estimate_sources: bool = True) -> LBFGSResult:
+              estimate_sources: bool = True,
+              fwi: FWIConfig | None = None) -> LBFGSResult:
     """L-BFGS inversion (reference: fwi_loss_function.py:106-132) as one
     compiled scan; optax L-BFGS with zoom linesearch.
 
@@ -64,6 +65,11 @@ def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
     (slowness ~7e-4 s/m, misfit ~1e-16 for unit-amplitude sources), so we
     optimize dimensionless slowness (relative to the starting model) and a
     data-normalized misfit; both rescalings leave the minimizer unchanged.
+
+    ``fwi`` (optional) supplies regularization weights: the exact penalized
+    objective ``misfit/|d|^2 + lam * R(vel)/(ny*nx)`` is minimized (see
+    fwi.regularization for the convention). The returned loss history is the
+    un-normalized DATA term only, comparable to the unregularized run.
     """
     slow0 = (1.0 / jnp.asarray(vel_init, jnp.float32)).ravel()
     slow_ref = jnp.mean(slow0)
@@ -73,9 +79,17 @@ def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
     else:
         data_norm = 0.5 * jnp.sum(jnp.abs(data.rec_obs) ** 2)
 
+    n_pix = grid.ny * grid.nx
+    regularized = fwi is not None and (fwi.reg_tikhonov or fwi.reg_tv)
+
     def loss_fn(p):
         raw = fwi_loss(p * slow_ref, data, grid, solver, estimate_sources)
-        return raw / data_norm
+        total = raw / data_norm
+        if regularized:
+            from .regularization import penalty_value
+            vel = 1.0 / (p * slow_ref).reshape(grid.shape)
+            total = total + penalty_value(vel, grid, fwi) / n_pix
+        return total
 
     params0 = slow0 / slow_ref
     opt = optax.lbfgs(memory_size=memory_size)
@@ -86,8 +100,13 @@ def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
         loss, grad = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(
             grad, opt_state, params, value=loss, grad=grad, value_fn=loss_fn)
+        data_term = loss
+        if regularized:
+            from .regularization import penalty_value
+            vel = 1.0 / (params * slow_ref).reshape(grid.shape)
+            data_term = loss - penalty_value(vel, grid, fwi) / n_pix
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss * data_norm
+        return (params, opt_state), data_term * data_norm
 
     (params, _), losses = jax.lax.scan(step, (params0, opt_state0),
                                        None, length=num_iterations)

@@ -120,6 +120,8 @@ def _step_size(formula: StepSizeFormula, drec, rec_obs, rec_sim, grad,
 def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
                  fwi: FWIConfig):
     """Build the jittable body of one CG iteration."""
+    from .regularization import make_cg_regularizer
+    regularize = make_cg_regularizer(grid, fwi)
 
     def step(state: CGState, it):
         vel, slow, sd, gprev = (state.velocity, state.slowness,
@@ -159,6 +161,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
         else:
             grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
+        if regularize is not None:
+            grad = grad + regularize(slow, grad)
 
         # (5) momentum & search direction (reference: nonlinearcg.py:129-138)
         beta = _momentum(fwi.momentum, it, grad, gprev, sd, fwi.eps_stabilizer)

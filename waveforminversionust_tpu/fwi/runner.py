@@ -72,7 +72,6 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                                  x_elem=ds0.x_circ, y_elem=ds0.y_circ)
     # Auto-select the split-complex engine off-CPU (see ops.cpx), unless the
     # caller pinned it explicitly in the solver config.
-    import jax as _jax
     solver = auto_split(solver)
 
     if continuation is None or not continuation.frequencies:
@@ -95,7 +94,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             histories.append(res.metrics)
             stage_metrics = res.metrics
         elif method == "lbfgs":
-            res = run_lbfgs(vel, data, grid, solver, num_iterations=n_iter)
+            res = run_lbfgs(vel, data, grid, solver, num_iterations=n_iter,
+                            fwi=fwi)
             vel = res.velocity
             losses_lbfgs.append(np.asarray(res.loss_history))
             stage_metrics = res.loss_history
