@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from waveforminversionust_tpu import (Grid2D, PMLConfig, SolverConfig,
-                                      SolverMethod, StencilConfig,
+                                      SolverMethod,
                                       solve_helmholtz)
 from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
 

@@ -1,6 +1,5 @@
 """Split-complex arithmetic library vs numpy complex ground truth."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

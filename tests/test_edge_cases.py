@@ -1,9 +1,7 @@
 """Edge-case coverage: operator-API method variants, downsampled transmit
 subsets, split warm starts, Cpx checkpointing, ComplexParts plotting."""
 
-import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -144,8 +144,8 @@ class TestContinuation:
         reference's stated future work made real."""
         import numpy as np
         from waveforminversionust_tpu import ContinuationConfig
-        from waveforminversionust_tpu.data.synthesize import RingDataset, synthesize_ring_dataset
-        from waveforminversionust_tpu.fwi.runner import invert_dataset, reconstruction_rmse
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        from waveforminversionust_tpu.fwi.runner import invert_dataset
         from waveforminversionust_tpu.models.acquisition import (ring_positions,
                                                                  snap_to_grid)
         from waveforminversionust_tpu.models.phantom import smooth_blob_phantom

@@ -100,7 +100,6 @@ def test_cg_regularizer_none_when_off(grid):
 
 class TestRegularizedInversion:
     def _problem(self):
-        from tests.conftest import reference_available  # noqa: F401
         from waveforminversionust_tpu import (AcquisitionConfig, PMLConfig,
                                               SolverConfig)
         from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset

@@ -1,14 +1,12 @@
 """Helmholtz solver correctness: direct (banded), Krylov, and Born series."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 from scipy.special import hankel2
 
-from waveforminversionust_tpu import (Grid2D, PMLConfig, SolverConfig,
+from waveforminversionust_tpu import (Grid2D, SolverConfig,
                                       SolverMethod, solve_helmholtz)
 from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
 from waveforminversionust_tpu.ops.apply import h_apply, h_apply_adjoint

@@ -9,7 +9,6 @@ stated future work) and optional checkpointing.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp

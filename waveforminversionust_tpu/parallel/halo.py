@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.apply import h_apply
 from ..ops.stencil import STENCIL_OFFSETS
 
 
