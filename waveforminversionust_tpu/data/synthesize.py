@@ -39,9 +39,9 @@ class RingDataset(NamedTuple):
 
 @partial(jax.jit, static_argnames=("grid", "solver"))
 def _forward_record(vel, src, f, rx_y, rx_x, grid: Grid2D,
-                    solver: SolverConfig):
+                    solver: SolverConfig, attenuation=None):
     from ..ops.cpx import Cpx
-    u, _ = solve_helmholtz(vel, src, f, grid, solver)
+    u, _ = solve_helmholtz(vel, src, f, grid, solver, attenuation=attenuation)
     idx = (jnp.arange(src.shape[0])[:, None], rx_y[None, :], rx_x[None, :])
     # Return real/imag planes: complex64 outputs are not fetchable on all
     # TPU runtimes (see utils.host).
@@ -57,7 +57,8 @@ def synthesize_ring_dataset(vel, grid: Grid2D,
                             solver: SolverConfig = SolverConfig(),
                             seed: int = 0,
                             random_amplitudes: bool = True,
-                            x_elem=None, y_elem=None) -> RingDataset:
+                            x_elem=None, y_elem=None,
+                            attenuation=None) -> RingDataset:
     """Simulate a full ring acquisition over a known speed map.
 
     Args:
@@ -94,10 +95,12 @@ def synthesize_ring_dataset(vel, grid: Grid2D,
     else:
         src = jnp.asarray(src_np)
 
+    if attenuation is not None:
+        attenuation = jnp.asarray(attenuation, jnp.float32)
     re, im = _forward_record(jnp.asarray(vel, jnp.float32), src,
                              jnp.float32(f),
                              jnp.asarray(acq.y_idx), jnp.asarray(acq.x_idx),
-                             grid, solver)
+                             grid, solver, attenuation)
     rec_data = (np.asarray(jax.device_get(re))
                 + 1j * np.asarray(jax.device_get(im))).astype(np.complex64)
 

@@ -174,7 +174,8 @@ def _fd_solve_cpx_bwd(grid, cfg, residuals, u_bar):
 _fd_solve_cpx.defvjp(_fd_solve_cpx_fwd, _fd_solve_cpx_bwd)
 
 
-def _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0):
+def _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0,
+                           attenuation=None):
     src = cpxlib.of(src)
     single = src.ndim == 2
     if single:
@@ -183,7 +184,8 @@ def _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0):
         raise NotImplementedError(
             "split_complex differentiable solve supports the banded method")
     coeffs = helmholtz_coefficients_cpx(vel, grid, f, config.pml,
-                                        config.stencil)
+                                        config.stencil,
+                                        attenuation=attenuation)
     if adjoint:
         coeffs = adjoint_coefficients_cpx(coeffs)
     scale = dirichlet_scale(grid)
@@ -283,24 +285,30 @@ class HelmholtzOperator(NamedTuple):
 
 
 def make_helmholtz_operator(vel, f, grid: Grid2D,
-                            cfg: SolverConfig = SolverConfig()) -> HelmholtzOperator:
+                            cfg: SolverConfig = SolverConfig(),
+                            attenuation=None) -> HelmholtzOperator:
     """Build (and for the banded method, factorize) the operator once.
 
     With ``cfg.split_complex`` the planes and factorization are split-complex
     (Cpx float pairs; see ops.cpx) — required on TPU runtimes without full
     complex64 support. Only the banded and Born methods support split mode.
     """
+    if attenuation is not None and cfg.method == SolverMethod.BORN:
+        raise NotImplementedError("attenuation is supported by the FD "
+                                  "methods (banded/gmres), not Born")
     scale = dirichlet_scale(grid)
     d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
     if cfg.split_complex:
         if cfg.method == SolverMethod.GMRES:
             raise NotImplementedError("split_complex GMRES-on-FD not available")
-        coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil)
+        coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil,
+                                            attenuation=attenuation)
         factor = (banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
                   if cfg.method == SolverMethod.BANDED else None)
         precond = None
     else:
-        coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False)
+        coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False,
+                                         attenuation=attenuation)
         factor = banded_factor(coeffs) if cfg.method == SolverMethod.BANDED else None
     return HelmholtzOperator(vel=jnp.asarray(vel, jnp.float32),
                              f=jnp.asarray(f, jnp.float32),
@@ -387,9 +395,10 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
 # ---------------------------------------------------------------------------
 
 def build_operator(vel, f, grid: Grid2D, cfg: SolverConfig = SolverConfig(),
-                   adjoint: bool = False):
+                   adjoint: bool = False, attenuation=None):
     """Coefficient planes + preconditioner parameters for H (or H^H)."""
-    coeffs = helmholtz_coefficients(vel, grid, f, cfg.pml, cfg.stencil)
+    coeffs = helmholtz_coefficients(vel, grid, f, cfg.pml, cfg.stencil,
+                                    attenuation=attenuation)
     if adjoint:
         coeffs = apply.adjoint_coefficients(coeffs)
     vel_sg = jax.lax.stop_gradient(jnp.asarray(vel, jnp.float32))
@@ -425,7 +434,7 @@ def auto_split(config: SolverConfig) -> SolverConfig:
 
 def solve_helmholtz(vel, src, f, grid: Grid2D,
                     config: SolverConfig = SolverConfig(),
-                    adjoint: bool = False, x0=None):
+                    adjoint: bool = False, x0=None, attenuation=None):
     """Solve H(vel) u = src (or H^H u = src) for a batch of sources.
 
     Args:
@@ -435,6 +444,10 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
         adjoint: solve the conjugate-transpose system.
         x0: optional warm start (batch, ny, nx); used by the Krylov method
             only, and only in the primal computation.
+        attenuation: optional (ny, nx) alpha map [Np/m] for lossy media
+            (see stencil.helmholtz_coefficients). FD methods only; the Born
+            path raises. Differentiable (inverting for alpha via autodiff
+            works through the same custom-VJP solve).
 
     Returns:
         (u, SolveInfo): u is (batch, ny, nx) complex64.
@@ -442,8 +455,12 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
     Note: diagnostics (residual/iteration count) are computed on a
     stop-gradient side path so the differentiable output is just u.
     """
+    if attenuation is not None and config.method == SolverMethod.BORN:
+        raise NotImplementedError("attenuation is supported by the FD "
+                                  "methods (banded/gmres), not Born")
     if config.split_complex:
-        return _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0)
+        return _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0,
+                                      attenuation=attenuation)
     src = jnp.asarray(src, jnp.complex64)
     single = src.ndim == 2
     if single:
@@ -455,7 +472,8 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
                         bool(adjoint))
         info = SolveInfo(jnp.zeros(src.shape[0], jnp.float32), jnp.int32(-1))
     else:
-        coeffs, precond = build_operator(vel, f, grid, config, adjoint=adjoint)
+        coeffs, precond = build_operator(vel, f, grid, config, adjoint=adjoint,
+                                         attenuation=attenuation)
         # Boundary-row scaling bookkeeping (see stencil.dirichlet_scale):
         # the planes describe H_s = D H with D = diag(scale on the border).
         #  * forward solve H u = s  <=>  H_s u = D s      (scale the RHS)

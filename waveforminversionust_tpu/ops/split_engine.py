@@ -53,14 +53,17 @@ def pml_stretch_fields_cpx(grid: Grid2D, f, pml: PMLConfig):
 def helmholtz_coefficients_cpx(vel, grid: Grid2D, f,
                                pml: PMLConfig = PMLConfig(),
                                stencil: StencilConfig = StencilConfig(),
-                               dirichlet_value: float | None = None) -> Cpx:
+                               dirichlet_value: float | None = None,
+                               attenuation=None) -> Cpx:
     """Split-complex 9 coefficient planes (cf. stencil.helmholtz_coefficients;
-    entries follow solveHelmholtz.m:53-126)."""
+    entries follow solveHelmholtz.m:53-126). ``attenuation`` is an optional
+    (ny, nx) alpha map [Np/m]: k = omega/c + i*sgn*alpha (see the native
+    builder for the convention)."""
     ny, nx = grid.ny, grid.nx
     h = jnp.float32(grid.h)
     g = jnp.float32(grid.aspect)
     vel = jnp.asarray(vel, jnp.float32)
-    k2 = (2 * jnp.pi * f / vel) ** 2  # real
+    kr = 2 * jnp.pi * f / vel
 
     A, B, C = pml_stretch_fields_cpx(grid, f, pml)
     b, d, e = stencil_params(jnp.min(vel), jnp.max(vel), f, h, g, stencil)
@@ -83,7 +86,12 @@ def helmholtz_coefficients_cpx(vel, grid: Grid2D, f,
     B_ym_xm, B_ym_xp = sc(B, 0, 0), sc(B, 0, 2)
     B_yc_xm, B_yc_xp = sc(B, 1, 0), sc(B, 1, 2)
 
-    Ck2 = cpx.scale(C, k2)
+    if attenuation is None:
+        Ck2 = cpx.scale(C, kr * kr)
+    else:
+        sgn = jnp.sign(jnp.float32(pml.sign_convention))
+        alpha = jnp.asarray(attenuation, jnp.float32)
+        Ck2 = cpx.mul(C, Cpx(kr * kr - alpha * alpha, 2 * sgn * kr * alpha))
     Ck2_c, Ck2_l, Ck2_r = sc(Ck2, 1, 1), sc(Ck2, 1, 0), sc(Ck2, 1, 2)
     Ck2_d, Ck2_u = sc(Ck2, 0, 1), sc(Ck2, 2, 1)
     Ck2_dl, Ck2_dr = sc(Ck2, 0, 0), sc(Ck2, 0, 2)

@@ -157,7 +157,8 @@ def boundary_mask(grid: Grid2D):
 
 def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
                            stencil: StencilConfig = StencilConfig(),
-                           dirichlet_value: float | None = None):
+                           dirichlet_value: float | None = None,
+                           attenuation=None):
     """Build the nine complex coefficient planes of the Helmholtz operator.
 
     Returns ``coeffs`` of shape (9, ny, nx) complex64 such that
@@ -174,14 +175,25 @@ def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
         dirichlet_value: boundary row value; defaults to
             :func:`dirichlet_scale`. Pass 1.0 for bit-parity with the
             reference matrix.
+        attenuation: optional (ny, nx) attenuation map alpha [Np/m]. The
+            wavenumber becomes k = omega/c + i*sgn*alpha with sgn the PML
+            sign convention, so waves decay as exp(-alpha * distance)
+            (the reference models lossless media only; attenuation is a
+            framework addition).
     """
     ny, nx = grid.ny, grid.nx
     h = jnp.float32(grid.h)
     g = jnp.float32(grid.aspect)
     vel = jnp.asarray(vel, jnp.float32)
 
-    k = (2 * jnp.pi * f / vel).astype(jnp.complex64)
-    k2 = k * k
+    kr = 2 * jnp.pi * f / vel
+    if attenuation is None:
+        k2 = (kr * kr).astype(jnp.complex64)
+    else:
+        sgn = jnp.sign(jnp.float32(pml.sign_convention))
+        alpha = jnp.asarray(attenuation, jnp.float32)
+        k = jax.lax.complex(kr, sgn * alpha)
+        k2 = k * k
 
     A, B, C = pml_stretch_fields(grid, f, pml)
     b, d, e = stencil_params(jnp.min(vel), jnp.max(vel), f, h, g, stencil)
