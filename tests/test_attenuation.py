@@ -106,3 +106,121 @@ def test_synthesize_with_attenuation(setup):
     m0 = np.abs(ds0.rec_data).mean()
     ma = np.abs(dsa.rec_data).mean()
     assert ma < 0.7 * m0
+
+
+def test_virtual_source_lossy_factor():
+    """VIRT = (2 omega^2 slow + 2 i omega alpha_signed) * u, both engines."""
+    from waveforminversionust_tpu.fwi.objective import virtual_source
+    from waveforminversionust_tpu.ops import cpx
+
+    rng = np.random.default_rng(0)
+    slow = (1 / 1500.0 + 1e-5 * rng.standard_normal((5, 6))).astype(np.float32)
+    a_s = (-40.0 * np.ones((5, 6))).astype(np.float32)
+    u = (rng.standard_normal((2, 5, 6))
+         + 1j * rng.standard_normal((2, 5, 6))).astype(np.complex64)
+    omega = 2 * np.pi * F
+    expect = (2 * omega ** 2 * slow + 2j * omega * a_s)[None] * u
+    got = virtual_source(jnp.asarray(slow), jnp.asarray(u), jnp.float32(F),
+                         jnp.asarray(a_s))
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-5)
+    got_s = virtual_source(jnp.asarray(slow), cpx.of(u), jnp.float32(F),
+                           jnp.asarray(a_s))
+    np.testing.assert_allclose(np.asarray(got_s.re) + 1j * np.asarray(got_s.im),
+                               expect, rtol=1e-5)
+
+
+def test_lossy_adjoint_state_gradient_quality():
+    """The hand-derived CG gradient in a lossy medium tracks jax.grad of the
+    misfit as closely as the reference's lossless approximation does (the
+    VIRT factor ignores the PML stretch and the stencil's k^2 neighbor
+    spread — measured ~2% directional error either way), and the lossy
+    Frechet correction (2*i*omega*alpha) does not degrade it."""
+    import jax
+
+    from waveforminversionust_tpu.fwi.objective import misfit, virtual_source
+
+    grid = Grid2D.centered(12e-3, 0.6e-3)  # 41x41
+    solver = SolverConfig(pml=PMLConfig(l_pml=2.4e-3))
+    rng = np.random.default_rng(3)
+    vel0 = (1500.0 + 20 * rng.standard_normal(grid.shape)).astype(np.float32)
+    alpha = (60.0 * np.exp(-((np.arange(grid.nx) - grid.nx / 2) ** 2
+                             / (2 * 8.0 ** 2)))[None, :]
+             * np.ones((grid.ny, 1))).astype(np.float32)
+    src = np.zeros((2,) + grid.shape, np.complex64)
+    src[0, 8, 8] = 1.0
+    src[1, 30, 28] = 1.0
+    ry, rx = np.array([20, 10, 33]), np.array([35, 22, 12])
+    u_true, _ = solve_helmholtz(vel0 + 15, src, F, grid, solver,
+                                attenuation=alpha)
+    obs = fetch(u_true[:, ry, rx])
+    slow0 = jnp.asarray(1.0 / vel0)
+
+    def lossf(slow):
+        u, _ = solve_helmholtz(1.0 / slow, src, F, grid, solver,
+                               attenuation=alpha)
+        return misfit(u[:, ry, rx], jnp.asarray(obs))
+
+    g_auto = np.asarray(jax.grad(lossf)(slow0))
+
+    u, _ = solve_helmholtz(vel0, src, F, grid, solver, attenuation=alpha)
+    res = np.asarray(fetch(u[:, ry, rx])) - obs
+    adj_src = np.zeros_like(src)
+    adj_src[:, ry, rx] = res
+    lam, _ = solve_helmholtz(vel0, jnp.asarray(adj_src), F, grid, solver,
+                             adjoint=True, attenuation=alpha)
+
+    def cos(a_signed):
+        virt = virtual_source(slow0, u, jnp.float32(F), a_signed)
+        g = -np.sum(np.real(np.conj(np.asarray(fetch(virt)))
+                            * np.asarray(fetch(lam))), axis=0)
+        return float(np.vdot(g.ravel(), g_auto.ravel())
+                     / (np.linalg.norm(g) * np.linalg.norm(g_auto)))
+
+    sgn = np.sign(solver.pml.sign_convention)
+    c_lossy = cos(jnp.asarray((sgn * alpha).astype(np.float32)))
+    c_lossless = cos(None)
+    assert c_lossy > 0.98
+    assert c_lossy >= c_lossless - 1e-6
+
+
+def test_cg_inversion_in_lossy_medium():
+    """End-to-end: synthesize lossy data, invert velocity with the known
+    alpha map passed through build_fwi_data — loss decreases and the
+    reconstruction moves toward the true model."""
+    from waveforminversionust_tpu import AcquisitionConfig, FWIConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+    from waveforminversionust_tpu.models.acquisition import (
+        build_ring_acquisition, ring_positions, snap_to_grid)
+    from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    acq_cfg = AcquisitionConfig(num_elements=32, radius=9e-3,
+                                num_excluded_each_side=3)
+    # Snap element positions to the INVERSION grid first so both grids place
+    # them identically (see synthesize_ring_dataset's docstring).
+    xe, ye = ring_positions(acq_cfg.num_elements, acq_cfg.radius)
+    xi, yi = snap_to_grid(coarse, xe, ye)
+    xs, ys = coarse.x[xi], coarse.y[yi]
+    solver = SolverConfig(pml=PMLConfig(l_pml=3.2e-3))
+    vel_true = smooth_blob_phantom(fine, radius=6e-3, dc=30)
+    alpha_fine = np.full(fine.shape, 50.0, np.float32)
+    ds = synthesize_ring_dataset(vel_true, fine, acq_cfg, f=200e3,
+                                 solver=solver, seed=5,
+                                 attenuation=alpha_fine,
+                                 x_elem=xs, y_elem=ys)
+    acq = build_ring_acquisition(coarse, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    alpha_coarse = np.full(coarse.shape, 50.0, np.float32)
+    data = build_fwi_data(acq, ds.rec_data, 200e3,
+                          attenuation=alpha_coarse)
+    vel0 = jnp.full(coarse.shape, 1500.0, jnp.float32)
+    res = nonlinear_cg(vel0, data, coarse, solver,
+                       FWIConfig(num_iterations=5))
+    loss = np.asarray(res.metrics.loss)
+    assert np.all(np.isfinite(loss))
+    assert loss[-1] < 0.6 * loss[0]
+    vmax = float(np.max(np.asarray(res.velocity)))
+    assert 1510.0 < vmax < 1545.0  # moving toward the +30 blob

@@ -47,10 +47,14 @@ class FWIData(NamedTuple):
     # corner indices and rx_w the matching real weights (see
     # AcquisitionConfig.interpolation). None for nearest-pixel sampling.
     rx_w: jnp.ndarray | None = None
+    # Known attenuation map alpha [Np/m] of the medium, or None (lossless —
+    # the reference's only mode). Velocity is inverted IN this medium; alpha
+    # itself is held fixed (see optimizers.make_cg_step).
+    attenuation: jnp.ndarray | None = None
 
 
 def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f,
-                   split: bool = False) -> FWIData:
+                   split: bool = False, attenuation=None) -> FWIData:
     """Assemble FWIData from an acquisition and a recorded (ntx_total, num_elements)
     data matrix indexed [tx, rx] (reference layout: SimulateData.m:55-59).
 
@@ -86,6 +90,8 @@ def build_fwi_data(acq: RingAcquisition, rec_data: np.ndarray, f,
         rx_y=rx_y,
         rx_x=rx_x,
         f=jnp.asarray(f, jnp.float32),
+        attenuation=(None if attenuation is None
+                     else jnp.asarray(attenuation, jnp.float32)),
         rx_w=rx_w,
     )
 
@@ -154,11 +160,23 @@ def misfit(rec_sim, rec_obs):
     return 0.5 * jnp.sum(jnp.real(jnp.conj(d) * d))
 
 
-def virtual_source(slowness, wavefields, f):
-    """VIRT = 2 (2 pi f)^2 * slowness * u — the dH/d(slowness) action on u
-    (reference: nonlinearcg.py:120, FrequencyDomainFWI.m:110-111)."""
-    omega2 = (2 * jnp.pi * f) ** 2
-    factor = (2 * omega2 * slowness)[None]
+def virtual_source(slowness, wavefields, f, alpha_signed=None):
+    """VIRT = dk^2/d(slowness) * u — the dH/d(slowness) action on u
+    (reference: nonlinearcg.py:120, FrequencyDomainFWI.m:110-111).
+
+    Lossless: k^2 = omega^2 slow^2, so VIRT = 2 omega^2 slow * u. With a
+    fixed attenuation map (k = omega*slow + i*sgn*alpha), the exact Frechet
+    factor gains an imaginary part: dk^2/dslow = 2 omega (omega slow +
+    i*sgn*alpha). ``alpha_signed`` is sgn*alpha (the caller applies the PML
+    sign convention; see optimizers.make_cg_step)."""
+    omega = 2 * jnp.pi * f
+    fr = (2 * omega ** 2 * slowness)[None]
+    if alpha_signed is None:
+        if isinstance(wavefields, Cpx):
+            return cpx.scale(wavefields, fr)
+        return fr.astype(jnp.complex64) * wavefields
+    fi = (2 * omega * alpha_signed)[None]
     if isinstance(wavefields, Cpx):
-        return cpx.scale(wavefields, factor)
-    return factor.astype(jnp.complex64) * wavefields
+        return cpx.mul(wavefields, Cpx(jnp.broadcast_to(fr, wavefields.shape),
+                                       jnp.broadcast_to(fi, wavefields.shape)))
+    return (fr + 1j * fi).astype(jnp.complex64) * wavefields

@@ -128,7 +128,12 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
                                 state.search_dir, state.grad_prev)
 
         # One operator build + factorization serves all 3 solves.
-        op = make_helmholtz_operator(vel, data.f, grid, solver)
+        op = make_helmholtz_operator(vel, data.f, grid, solver,
+                                     attenuation=data.attenuation)
+        alpha_signed = None
+        if data.attenuation is not None:
+            alpha_signed = (jnp.sign(jnp.float32(solver.pml.sign_convention))
+                            * data.attenuation)
 
         # (1) forward solve, all transmitters at once
         # (reference: nonlinearcg.py:76)
@@ -156,7 +161,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
                                           adjoint=True)
 
         # (4) adjoint-state gradient (reference: nonlinearcg.py:118-127)
-        virt = virtual_source(slow, wv, data.f)
+        virt = virtual_source(slow, wv, data.f, alpha_signed)
         if isinstance(virt, Cpx):
             grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
         else:
