@@ -43,7 +43,8 @@ def fwi_loss(slowness_flat, data: FWIData, grid: Grid2D,
     """
     slowness = slowness_flat.reshape(grid.shape)
     vel = 1.0 / slowness
-    u, _ = solve_helmholtz(vel, data.src, data.f, grid, solver)
+    u, _ = solve_helmholtz(vel, data.src, data.f, grid, solver,
+                           attenuation=data.attenuation)
     rec_sim = sample_receivers(u, data.rx_y, data.rx_x, data.rx_w)
     if estimate_sources:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)

@@ -43,7 +43,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                    fwi: FWIConfig = FWIConfig(),
                    continuation: ContinuationConfig | None = None,
                    method: str = "cg",
-                   callback: Callable | None = None) -> InversionResult:
+                   callback: Callable | None = None,
+                   attenuation=None) -> InversionResult:
     """Invert a RingDataset (loaded or synthesized).
 
     Args:
@@ -59,6 +60,9 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         callback: called as callback(stage_index, frequency, velocity,
             stage_metrics) after each stage (host-side; use for logging /
             checkpointing / plotting).
+        attenuation: optional known (ny, nx) alpha map [Np/m] on the
+            RECONSTRUCTION grid; velocity is inverted in this fixed lossy
+            medium (FD methods only).
     """
     # ``dataset`` may be a single RingDataset or a {frequency: RingDataset}
     # mapping for broadband acquisitions (per-stage observed data). The
@@ -85,7 +89,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     for stage_idx, (freq, n_iter) in enumerate(stages):
         stage_ds = dataset[freq] if per_freq else dataset
         data = build_fwi_data(acq, stage_ds.rec_data, freq,
-                              split=solver.split_complex)
+                              split=solver.split_complex,
+                              attenuation=attenuation)
         if method == "cg":
             res = nonlinear_cg(vel, data, grid, solver, fwi,
                                num_iterations=n_iter)
