@@ -5,7 +5,10 @@ per README.md:36-39).
 Usage: python examples/invert_recorded.py [RecordedData.mat] [output.png]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -4,6 +4,11 @@ while debugging MATLAB<->Python indexing). Here the geometry is a first-class
 object, so the 'debug' is three asserts.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import waveforminversionust_tpu as wi

@@ -3,6 +3,11 @@ coarser grid — the reference's SimulateData.m -> FrequencyDomainFWI.m loop
 as one script, with a quantitative score.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import waveforminversionust_tpu as wi
@@ -17,8 +22,10 @@ def main():
     fine = wi.Grid2D.centered(120e-3, 0.3e-3)
     phantom = breast_phantom(fine, seed=7)
     print("synthesizing 256-element acquisition on", fine.shape, "...")
+    from waveforminversionust_tpu.ops.solve import auto_split
     ds = synthesize_ring_dataset(phantom, fine, wi.AcquisitionConfig(),
-                                 f=350e3, seed=7)
+                                 f=350e3, seed=7,
+                                 solver=auto_split(wi.SolverConfig()))
 
     result = invert_dataset(ds, fwi=wi.FWIConfig(num_iterations=10))
     rmse = reconstruction_rmse(result.velocity, result.grid, phantom, fine)
