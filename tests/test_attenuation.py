@@ -224,3 +224,35 @@ def test_cg_inversion_in_lossy_medium():
     assert loss[-1] < 0.6 * loss[0]
     vmax = float(np.max(np.asarray(res.velocity)))
     assert 1510.0 < vmax < 1545.0  # moving toward the +30 blob
+
+
+def test_invert_dataset_scalar_attenuation():
+    """invert_dataset expands scalar alpha to the grid (0.0 means lossless)."""
+    from waveforminversionust_tpu import AcquisitionConfig, FWIConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.runner import invert_dataset
+    from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                             snap_to_grid)
+    from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    acq = AcquisitionConfig(num_elements=32, radius=9e-3,
+                            num_excluded_each_side=3)
+    xe, ye = ring_positions(acq.num_elements, acq.radius)
+    xi, yi = snap_to_grid(coarse, xe, ye)
+    solver = SolverConfig(pml=PMLConfig(l_pml=3.2e-3))
+    ds = synthesize_ring_dataset(smooth_blob_phantom(fine, radius=6e-3, dc=30),
+                                 fine, acq, f=200e3, solver=solver, seed=5,
+                                 attenuation=np.full(fine.shape, 50.0,
+                                                     np.float32),
+                                 x_elem=coarse.x[xi], y_elem=coarse.y[yi])
+    fwi = FWIConfig(c_init=1500.0, num_iterations=3)
+    res = invert_dataset(ds, grid=coarse, acquisition=acq, solver=solver,
+                         fwi=fwi, attenuation=50.0)
+    loss = res.metrics["loss"]
+    assert loss[-1] < 0.3 * loss[0]
+    # 0.0 -> plain lossless path still runs
+    res0 = invert_dataset(ds, grid=coarse, acquisition=acq, solver=solver,
+                          fwi=fwi, attenuation=0.0)
+    assert np.isfinite(res0.metrics["loss"]).all()

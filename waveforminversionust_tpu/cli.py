@@ -48,6 +48,8 @@ def _cmd_run(args):
         radius=args.radius or 110e-3,
         num_excluded_each_side=args.exclude,
         interpolation=args.interpolation)}
+    if args.attenuation:
+        acq_kwargs["attenuation"] = float(args.attenuation)  # expanded below
     if args.profile:
         from .utils.profiling import trace
         with trace(args.profile):
@@ -159,6 +161,8 @@ def main(argv=None):
                     help="smoothing regularization weight (0-1, rel. to data gradient)")
     pr.add_argument("--reg-tv", type=float, default=0.0,
                     help="total-variation regularization weight")
+    pr.add_argument("--attenuation", type=float, default=0.0,
+                    help="uniform known attenuation alpha [Np/m]")
     pr.set_defaults(fn=_cmd_run)
 
     ps = sub.add_parser("simulate", help="synthesize a ring dataset")

@@ -60,15 +60,20 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         callback: called as callback(stage_index, frequency, velocity,
             stage_metrics) after each stage (host-side; use for logging /
             checkpointing / plotting).
-        attenuation: optional known (ny, nx) alpha map [Np/m] on the
-            RECONSTRUCTION grid; velocity is inverted in this fixed lossy
-            medium (FD methods only).
+        attenuation: optional known attenuation alpha [Np/m] — a scalar
+            (uniform medium) or an (ny, nx) map on the RECONSTRUCTION grid;
+            velocity is inverted in this fixed lossy medium (FD methods
+            only).
     """
     # ``dataset`` may be a single RingDataset or a {frequency: RingDataset}
     # mapping for broadband acquisitions (per-stage observed data). The
     # reference schema is single-frequency; the mapping form feeds
     # multi-frequency continuation with true per-frequency recordings.
     per_freq = isinstance(dataset, dict)
+    if attenuation is not None and np.ndim(attenuation) == 0:
+        attenuation = (None if float(attenuation) == 0.0 else
+                       np.full((grid or default_inversion_grid()).shape,
+                               float(attenuation), np.float32))
     ds0 = next(iter(dataset.values())) if per_freq else dataset
     grid = grid or default_inversion_grid()
     acq = build_ring_acquisition(grid, acquisition,
