@@ -256,3 +256,48 @@ def test_invert_dataset_scalar_attenuation():
     res0 = invert_dataset(ds, grid=coarse, acquisition=acq, solver=solver,
                           fwi=fwi, attenuation=0.0)
     assert np.isfinite(res0.metrics["loss"]).all()
+
+
+def test_multifreq_lossy_regularized():
+    """Joint multi-frequency CG accepts attenuation + TV regularization."""
+    import dataclasses
+
+    from waveforminversionust_tpu import AcquisitionConfig, FWIConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.multifreq import (nonlinear_cg_multifreq,
+                                                        stack_frequencies)
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.models.acquisition import (
+        build_ring_acquisition, ring_positions, snap_to_grid)
+    from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    acq_cfg = AcquisitionConfig(num_elements=24, radius=9e-3,
+                                num_excluded_each_side=3)
+    xe, ye = ring_positions(acq_cfg.num_elements, acq_cfg.radius)
+    xi, yi = snap_to_grid(coarse, xe, ye)
+    solver = SolverConfig(pml=PMLConfig(l_pml=3.2e-3))
+    vel_true = smooth_blob_phantom(fine, radius=6e-3, dc=30)
+    alpha_f = np.full(fine.shape, 40.0, np.float32)
+    alpha_c = np.full(coarse.shape, 40.0, np.float32)
+    acq = None
+    datas = []
+    for f in (150e3, 200e3):
+        ds = synthesize_ring_dataset(vel_true, fine, acq_cfg, f=f,
+                                     solver=solver, seed=6,
+                                     attenuation=alpha_f,
+                                     x_elem=coarse.x[xi], y_elem=coarse.y[yi])
+        if acq is None:
+            acq = build_ring_acquisition(coarse, acq_cfg, x_elem=ds.x_circ,
+                                         y_elem=ds.y_circ)
+        datas.append(build_fwi_data(acq, ds.rec_data, f,
+                                    attenuation=alpha_c))
+    mdata = stack_frequencies(datas)
+    fwi = FWIConfig(c_init=1500.0, num_iterations=4, reg_tv=0.2)
+    vel0 = jnp.full(coarse.shape, 1500.0, jnp.float32)
+    vel, metrics = nonlinear_cg_multifreq(vel0, mdata, coarse, solver, fwi)
+    loss = np.asarray(metrics.loss)
+    assert np.all(np.isfinite(loss))
+    assert loss[-1] < 0.5 * loss[0]
+    assert 1505.0 < float(np.max(np.asarray(vel)))

@@ -50,6 +50,9 @@ class MultiFreqData(NamedTuple):
     rx_x: jnp.ndarray
     freqs: jnp.ndarray        # (nf,)
     rx_w: jnp.ndarray | None = None
+    # Known frequency-independent attenuation map alpha [Np/m], or None
+    # (see objective.FWIData.attenuation).
+    attenuation: jnp.ndarray | None = None
 
 
 def stack_frequencies(datas: list[FWIData]) -> MultiFreqData:
@@ -66,6 +69,7 @@ def stack_frequencies(datas: list[FWIData]) -> MultiFreqData:
         rx_x=first.rx_x,
         freqs=jnp.stack([d.f for d in datas]),
         rx_w=first.rx_w,
+        attenuation=first.attenuation,
     )
 
 
@@ -81,10 +85,17 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
     """
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
+    from .regularization import make_cg_regularizer
+    regularize = make_cg_regularizer(grid, fwi)
+    alpha_signed = None
+    if data.attenuation is not None:
+        alpha_signed = (jnp.sign(jnp.float32(solver.pml.sign_convention))
+                        * data.attenuation)
 
     def per_freq_forward(vel, slow, f, rec_obs):
         """Forward solve + adjoint-state gradient pieces at one frequency."""
-        op = make_helmholtz_operator(vel, f, grid, solver)
+        op = make_helmholtz_operator(vel, f, grid, solver,
+                                     attenuation=data.attenuation)
         wv = helmholtz_operator_solve(op, data.src, grid, solver)
         rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
         if fwi.estimate_source_strength:
@@ -101,7 +112,7 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
                                     grid.shape, data.rx_w)
         adj_wv = helmholtz_operator_solve(op, adj_src, grid, solver,
                                           adjoint=True)
-        virt = virtual_source(slow, wv, f)
+        virt = virtual_source(slow, wv, f, alpha_signed)
         if isinstance(virt, Cpx):
             grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
         else:
@@ -109,7 +120,8 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
         return loss, grad, virt, residual, rec_sim
 
     def per_freq_linesearch(vel, f, virt, sd):
-        op = make_helmholtz_operator(vel, f, grid, solver)
+        op = make_helmholtz_operator(vel, f, grid, solver,
+                                     attenuation=data.attenuation)
         if isinstance(virt, Cpx):
             pert_src = cpx.scale(virt, -sd[None])
         else:
@@ -130,6 +142,8 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
             fwd_f, (data.freqs, data.rec_obs))
         loss = jnp.sum(losses)
         grad = jnp.sum(grads, axis=0)
+        if regularize is not None:
+            grad = grad + regularize(slow, grad)
 
         beta = _momentum(fwi.momentum, it, grad, gprev, sd, fwi.eps_stabilizer)
         sd_new = beta * sd - grad
