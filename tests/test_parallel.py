@@ -56,6 +56,45 @@ def test_shot_sharded_cg_matches_single_device():
                                atol=1e-3 * float(jnp.abs(res_single.velocity).max()))
 
 
+def test_shot_sharded_bilinear_attenuation_matches_single_device():
+    """shard_fwi_data must preserve and correctly place the optional fields:
+    bilinear receiver weights rx_w (shot-sharded) and the attenuation map
+    (replicated). Regression: a _replace-less reconstruction silently reset
+    both to None, so a sharded lossy inversion ran the lossless physics."""
+    C0 = 1500.0
+    f = 200e3
+    acq_cfg = AcquisitionConfig(num_elements=32, radius=18e-3,
+                                num_excluded_each_side=3,
+                                interpolation="bilinear")
+    solver = SolverConfig(pml=PMLConfig(l_pml=4e-3))
+    grid = Grid2D.centered(24e-3, 0.8e-3)
+    vel_true = smooth_blob_phantom(grid, radius=8e-3, dc=30, c_bkgnd=C0)
+    alpha = jnp.full(grid.shape, 5.0, jnp.float32)  # mild uniform loss
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=f, seed=0,
+                                 solver=solver, attenuation=alpha)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, f, attenuation=alpha)
+    assert data.rx_w is not None and data.attenuation is not None
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2)
+
+    res_single = nonlinear_cg(vel0, data, grid, solver, fwi)
+
+    mesh = shot_mesh()
+    data_sharded = shard_fwi_data(data, mesh)
+    assert data_sharded.rx_w is not None, "rx_w dropped by shard_fwi_data"
+    assert data_sharded.attenuation is not None, \
+        "attenuation dropped by shard_fwi_data"
+    res_sharded = nonlinear_cg(vel0, data_sharded, grid, solver, fwi)
+
+    np.testing.assert_allclose(np.asarray(res_sharded.metrics.loss),
+                               np.asarray(res_single.metrics.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_sharded.velocity),
+                               np.asarray(res_single.velocity),
+                               atol=1e-3 * float(jnp.abs(res_single.velocity).max()))
+
+
 def test_halo_apply_matches_unsharded():
     grid = Grid2D(nx=24, ny=32, dx=0.8e-3, dy=0.8e-3, x0=-9.2e-3, y0=-12.4e-3)
     rng = np.random.default_rng(0)

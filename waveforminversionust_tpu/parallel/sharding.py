@@ -45,23 +45,33 @@ def shot_freq_mesh(n_shot: int, n_freq: int, devices=None) -> Mesh:
 def shard_fwi_data(data: FWIData, mesh: Mesh,
                    axis_name: str = "shot") -> FWIData:
     """Place the shot-batched arrays of FWIData on the mesh, sharded along
-    the transmit axis; scalars replicate."""
-    shot3 = NamedSharding(mesh, P(axis_name, None, None))
-    shot2 = NamedSharding(mesh, P(axis_name, None))
+    the transmit axis; per-grid / scalar fields replicate.
+
+    A ``P(axis_name)`` spec shards dim 0 and replicates the rest, so it
+    covers both nearest-pixel ``(ntx, n_active)`` and bilinear
+    ``(ntx, n_active, 4)`` receiver layouts. Built with ``_replace`` so
+    fields not listed here (future additions) are preserved as-is rather
+    than silently reset to their defaults.
+    """
+    shot = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
 
     def put(x, sharding):
+        if x is None:
+            return None
         if isinstance(x, Cpx):  # split-complex: shard both planes
             return Cpx(jax.device_put(x.re, sharding),
                        jax.device_put(x.im, sharding))
         return jax.device_put(x, sharding)
 
-    return FWIData(
-        src=put(data.src, shot3),
-        rec_obs=put(data.rec_obs, shot2),
-        rx_y=jax.device_put(data.rx_y, shot2),
-        rx_x=jax.device_put(data.rx_x, shot2),
-        f=jax.device_put(data.f, rep),
+    return data._replace(
+        src=put(data.src, shot),
+        rec_obs=put(data.rec_obs, shot),
+        rx_y=put(data.rx_y, shot),
+        rx_x=put(data.rx_x, shot),
+        rx_w=put(data.rx_w, shot),
+        f=put(data.f, rep),
+        attenuation=put(data.attenuation, rep),
     )
 
 
