@@ -78,6 +78,14 @@ class StencilConfig:
     angular_resolution: int = 100
     range_resolution: int = 10
     fix_b: bool = True
+    # Corner-term A/B gather convention. "matlab" (default) follows the
+    # MATLAB original's face-consistent staggered sampling
+    # (solveHelmholtz.m:104-126) — the discretization that synthesized the
+    # recorded dataset. "jax_port" replicates the reference JAX port's
+    # shifted corner gathers incl. their out-of-bounds clamping
+    # (solve_helmholtz.py:224-260); use for head-to-head trajectory parity
+    # with the runnable reference implementation.
+    corner_mode: str = "matlab"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -243,10 +243,32 @@ def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
     val_r = (b * A_xc - half * (B_yc_xp + B_ym_xp) / g2) / h2 + (d / 4) * Ck2_r
     val_d = (b * B_ym / g2 - half * (A_ym_xc + A_ym_xm)) / h2 + (d / 4) * Ck2_d
     val_u = (b * B_yc / g2 - half * (A_yp_xc + A_yp_xm)) / h2 + (d / 4) * Ck2_u
-    val_dl = half * (A_ym_xm + B_ym_xm / g2) / h2 + (e / 4) * Ck2_dl
-    val_dr = half * (A_ym_xc + B_ym_xp / g2) / h2 + (e / 4) * Ck2_dr
-    val_ul = half * (A_yp_xm + B_yc_xm / g2) / h2 + (e / 4) * Ck2_ul
-    val_ur = half * (A_yp_xc + B_yc_xp / g2) / h2 + (e / 4) * Ck2_ur
+    if stencil.corner_mode == "jax_port":
+        # Replicate the reference JAX port's corner gathers: A/B indexed at
+        # the corner node (y±1, x±1) directly, which on the staggered
+        # (ny, nx-1)/(ny-1, nx) fields runs one past the far edge and is
+        # clamped by jnp's out-of-bounds gather semantics
+        # (solve_helmholtz.py:224-260). Modeled by edge-duplicated fields.
+        # The dl corner coincides with the MATLAB convention.
+        A_ext = jnp.concatenate([A, A[:, -1:]], axis=1)   # (ny, nx)
+        B_ext = jnp.concatenate([B, B[-1:, :]], axis=0)   # (ny, nx)
+        A_dr_p = s(A_ext, 0, 2)
+        B_dr_p = s(B_ext, 0, 2)
+        A_ul_p = s(A_ext, 2, 0)
+        B_ul_p = s(B_ext, 2, 0)
+        A_ur_p = s(A_ext, 2, 2)
+        B_ur_p = s(B_ext, 2, 2)
+        val_dl = half * (A_ym_xm + B_ym_xm / g2) / h2 + (e / 4) * Ck2_dl
+        val_dr = half * (A_dr_p + B_dr_p / g2) / h2 + (e / 4) * Ck2_dr
+        val_ul = half * (A_ul_p + B_ul_p / g2) / h2 + (e / 4) * Ck2_ul
+        val_ur = half * (A_ur_p + B_ur_p / g2) / h2 + (e / 4) * Ck2_ur
+    elif stencil.corner_mode == "matlab":
+        val_dl = half * (A_ym_xm + B_ym_xm / g2) / h2 + (e / 4) * Ck2_dl
+        val_dr = half * (A_ym_xc + B_ym_xp / g2) / h2 + (e / 4) * Ck2_dr
+        val_ul = half * (A_yp_xm + B_yc_xm / g2) / h2 + (e / 4) * Ck2_ul
+        val_ur = half * (A_yp_xc + B_yc_xp / g2) / h2 + (e / 4) * Ck2_ur
+    else:
+        raise ValueError(f"unknown corner_mode {stencil.corner_mode!r}")
 
     interior = jnp.stack(
         [val_c, val_l, val_r, val_d, val_u, val_dl, val_dr, val_ul, val_ur]
