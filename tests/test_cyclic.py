@@ -110,3 +110,65 @@ def test_cr_helmholtz_true_residual(rng):
     rel = (np.sqrt(np.asarray(cpx.abs2(r)).sum())
            / np.sqrt(np.asarray(cpx.abs2(rhs)).sum()))
     assert rel < 1e-4, rel
+
+
+def test_solve_helmholtz_cr_config(rng):
+    """Public entry point with factorization='cr' matches the default
+    block-Thomas result (split engine)."""
+    import dataclasses
+    from waveforminversionust_tpu import SolverConfig, solve_helmholtz
+
+    grid = Grid2D.centered(24e-3, 0.8e-3)
+    vel = jnp.asarray(1500.0 + 30 * rng.standard_normal(grid.shape),
+                      jnp.float32)
+    src_np = np.zeros((3, 61, 61), np.complex64)
+    src_np[0, 30, 30] = 1.0
+    src_np[1, 12, 48] = 1.0j
+    src_np[2, 48, 12] = -1.0 + 2.0j
+    cfg_cr = SolverConfig(split_complex=True, factorization="cr",
+                          pml=PMLConfig(l_pml=4e-3))
+    cfg_th = dataclasses.replace(cfg_cr, factorization="thomas")
+
+    u_cr, info = solve_helmholtz(vel, cpx.of(jnp.asarray(src_np)), 350e3,
+                                 grid, cfg_cr)
+    u_th, _ = solve_helmholtz(vel, cpx.of(jnp.asarray(src_np)), 350e3,
+                              grid, cfg_th)
+    assert float(np.asarray(info.rel_residual).max()) < 1e-4
+    g = np.asarray(u_cr.re) + 1j * np.asarray(u_cr.im)
+    w = np.asarray(u_th.re) + 1j * np.asarray(u_th.im)
+    assert np.linalg.norm(g - w) / np.linalg.norm(w) < 5e-4
+
+
+def test_cg_iteration_cr_matches_thomas(rng):
+    """Full CG inversion (2 iterations) with the CR factorization matches
+    block-Thomas: same loss trajectory, same velocity."""
+    from waveforminversionust_tpu import (AcquisitionConfig, FWIConfig,
+                                          SolverConfig)
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+    from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+    from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+    grid = Grid2D.centered(24e-3, 0.8e-3)
+    acq_cfg = AcquisitionConfig(num_elements=24, radius=18e-3,
+                                num_excluded_each_side=2)
+    solver_th = SolverConfig(split_complex=True, pml=PMLConfig(l_pml=4e-3))
+    import dataclasses
+    solver_cr = dataclasses.replace(solver_th, factorization="cr")
+    vel_true = smooth_blob_phantom(grid, radius=8e-3, dc=30)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=200e3, seed=0,
+                                 solver=SolverConfig(pml=PMLConfig(l_pml=4e-3)))
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, 200e3, split=True)
+    vel0 = jnp.full(grid.shape, 1500.0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2)
+
+    r_th = nonlinear_cg(vel0, data, grid, solver_th, fwi)
+    r_cr = nonlinear_cg(vel0, data, grid, solver_cr, fwi)
+    np.testing.assert_allclose(np.asarray(r_cr.metrics.loss),
+                               np.asarray(r_th.metrics.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(r_cr.velocity),
+                               np.asarray(r_th.velocity),
+                               atol=2e-3 * float(np.abs(np.asarray(r_th.velocity)).max()))

@@ -109,6 +109,10 @@ class SolverConfig:
     method: SolverMethod = SolverMethod.BANDED
     split_complex: bool = False  # carry complex data as (re, im) f32 pairs;
     # required on TPU runtimes without full complex64 support (see ops.cpx)
+    # Direct-method factorization (split engine): "thomas" = sequential
+    # block-Thomas (ny latency-bound inverses); "cr" = block cyclic
+    # reduction (log2(ny) levels of batched MXU inverses; see ops.cyclic).
+    factorization: str = "thomas"
     tol: float = 1e-5
     maxiter: int = 1000
     shift_beta: float = 0.5

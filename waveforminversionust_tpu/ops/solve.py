@@ -39,6 +39,7 @@ from .banded import BandedFactor, banded_factor, banded_solve
 from .krylov import gmres
 from .born import born_gmres_solve, born_series_solve
 from .cpx import Cpx
+from .cyclic import CRFactor, cr_factor_cpx, cr_solve_cpx
 from .preconditioner import PrecondParams, make_fft_preconditioner, shifted_k2
 from .split_engine import (BandedFactorCpx, adjoint_coefficients_cpx,
                            banded_factor_cpx, banded_solve_cpx,
@@ -142,12 +143,12 @@ def _shift_cpx(u: Cpx, dy, dx):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _fd_solve_cpx(coeffs: Cpx, rhs: Cpx, grid: Grid2D, cfg: SolverConfig):
-    factor = banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
+    factor = _factor_cpx(coeffs, cfg)
     return _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
 
 
 def _fd_solve_cpx_fwd(coeffs, rhs, grid, cfg):
-    factor = banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
+    factor = _factor_cpx(coeffs, cfg)
     u = _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
     return u, (coeffs, u, factor)
 
@@ -286,7 +287,8 @@ class HelmholtzOperator(NamedTuple):
 
 def make_helmholtz_operator(vel, f, grid: Grid2D,
                             cfg: SolverConfig = SolverConfig(),
-                            attenuation=None) -> HelmholtzOperator:
+                            attenuation=None,
+                            pml_fields=None) -> HelmholtzOperator:
     """Build (and for the banded method, factorize) the operator once.
 
     With ``cfg.split_complex`` the planes and factorization are split-complex
@@ -302,13 +304,15 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
         if cfg.method == SolverMethod.GMRES:
             raise NotImplementedError("split_complex GMRES-on-FD not available")
         coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil,
-                                            attenuation=attenuation)
-        factor = (banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
+                                            attenuation=attenuation,
+                                            pml_fields=pml_fields)
+        factor = (_factor_cpx(coeffs, cfg)
                   if cfg.method == SolverMethod.BANDED else None)
         precond = None
     else:
         coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False,
-                                         attenuation=attenuation)
+                                         attenuation=attenuation,
+                                         pml_fields=pml_fields)
         factor = banded_factor(coeffs) if cfg.method == SolverMethod.BANDED else None
     return HelmholtzOperator(vel=jnp.asarray(vel, jnp.float32),
                              f=jnp.asarray(f, jnp.float32),
@@ -354,14 +358,25 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
     return u
 
 
-def _banded_solve_refined_cpx(factor: BandedFactorCpx, rhs: Cpx,
+def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
+    """Direct factorization for the split engine: block-Thomas or cyclic
+    reduction, per ``cfg.factorization``."""
+    if cfg.factorization == "cr":
+        return cr_factor_cpx(coeffs)
+    if cfg.factorization == "thomas":
+        return banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
+    raise ValueError(f"unknown factorization {cfg.factorization!r}")
+
+
+def _banded_solve_refined_cpx(factor, rhs: Cpx,
                               cfg: SolverConfig, adjoint: bool) -> Cpx:
     opfn = (lambda v: h_apply_adjoint_cpx(factor.coeffs, v)) if adjoint \
         else (lambda v: h_apply_cpx(factor.coeffs, v))
-    x = banded_solve_cpx(factor, rhs, adjoint=adjoint)
+    base = cr_solve_cpx if isinstance(factor, CRFactor) else banded_solve_cpx
+    x = base(factor, rhs, adjoint=adjoint)
     for _ in range(cfg.refine):
         r = rhs - opfn(x)
-        x = x + banded_solve_cpx(factor, r, adjoint=adjoint)
+        x = x + base(factor, r, adjoint=adjoint)
     return x
 
 
@@ -395,10 +410,11 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
 # ---------------------------------------------------------------------------
 
 def build_operator(vel, f, grid: Grid2D, cfg: SolverConfig = SolverConfig(),
-                   adjoint: bool = False, attenuation=None):
+                   adjoint: bool = False, attenuation=None, pml_fields=None):
     """Coefficient planes + preconditioner parameters for H (or H^H)."""
     coeffs = helmholtz_coefficients(vel, grid, f, cfg.pml, cfg.stencil,
-                                    attenuation=attenuation)
+                                    attenuation=attenuation,
+                                    pml_fields=pml_fields)
     if adjoint:
         coeffs = apply.adjoint_coefficients(coeffs)
     vel_sg = jax.lax.stop_gradient(jnp.asarray(vel, jnp.float32))

@@ -54,18 +54,21 @@ def helmholtz_coefficients_cpx(vel, grid: Grid2D, f,
                                pml: PMLConfig = PMLConfig(),
                                stencil: StencilConfig = StencilConfig(),
                                dirichlet_value: float | None = None,
-                               attenuation=None) -> Cpx:
+                               attenuation=None, pml_fields=None) -> Cpx:
     """Split-complex 9 coefficient planes (cf. stencil.helmholtz_coefficients;
     entries follow solveHelmholtz.m:53-126). ``attenuation`` is an optional
     (ny, nx) alpha map [Np/m]: k = omega/c + i*sgn*alpha (see the native
-    builder for the convention)."""
+    builder for the convention). ``pml_fields`` = precomputed (A, B, C)
+    from :func:`pml_stretch_fields_cpx` (frequency-static; hoist out of
+    per-iteration rebuilds)."""
     ny, nx = grid.ny, grid.nx
     h = jnp.float32(grid.h)
     g = jnp.float32(grid.aspect)
     vel = jnp.asarray(vel, jnp.float32)
     kr = 2 * jnp.pi * f / vel
 
-    A, B, C = pml_stretch_fields_cpx(grid, f, pml)
+    A, B, C = (pml_fields if pml_fields is not None
+               else pml_stretch_fields_cpx(grid, f, pml))
     b, d, e = stencil_params(jnp.min(vel), jnp.max(vel), f, h, g, stencil)
     b = jnp.float32(b)
     d = jnp.asarray(d, jnp.float32)
@@ -109,10 +112,27 @@ def helmholtz_coefficients_cpx(vel, grid: Grid2D, f,
         + cpx.scale(Ck2_d, d / 4)
     val_u = cpx.scale(cpx.scale(B_yc, b / g2) - cpx.scale(A_yp_xc + A_yp_xm, half), 1 / h2) \
         + cpx.scale(Ck2_u, d / 4)
-    val_dl = cpx.scale(A_ym_xm + cpx.scale(B_ym_xm, 1 / g2), half / h2) + cpx.scale(Ck2_dl, e / 4)
-    val_dr = cpx.scale(A_ym_xc + cpx.scale(B_ym_xp, 1 / g2), half / h2) + cpx.scale(Ck2_dr, e / 4)
-    val_ul = cpx.scale(A_yp_xm + cpx.scale(B_yc_xm, 1 / g2), half / h2) + cpx.scale(Ck2_ul, e / 4)
-    val_ur = cpx.scale(A_yp_xc + cpx.scale(B_yc_xp, 1 / g2), half / h2) + cpx.scale(Ck2_ur, e / 4)
+    if stencil.corner_mode == "jax_port":
+        # Reference JAX port's corner gathers incl. their clamped
+        # out-of-bounds reads (cf. stencil.helmholtz_coefficients).
+        A_ext = Cpx(jnp.concatenate([A.re, A.re[:, -1:]], axis=1),
+                    jnp.concatenate([A.im, A.im[:, -1:]], axis=1))
+        B_ext = Cpx(jnp.concatenate([B.re, B.re[-1:, :]], axis=0),
+                    jnp.concatenate([B.im, B.im[-1:, :]], axis=0))
+        A_dr_p, B_dr_p = sc(A_ext, 0, 2), sc(B_ext, 0, 2)
+        A_ul_p, B_ul_p = sc(A_ext, 2, 0), sc(B_ext, 2, 0)
+        A_ur_p, B_ur_p = sc(A_ext, 2, 2), sc(B_ext, 2, 2)
+        val_dl = cpx.scale(A_ym_xm + cpx.scale(B_ym_xm, 1 / g2), half / h2) + cpx.scale(Ck2_dl, e / 4)
+        val_dr = cpx.scale(A_dr_p + cpx.scale(B_dr_p, 1 / g2), half / h2) + cpx.scale(Ck2_dr, e / 4)
+        val_ul = cpx.scale(A_ul_p + cpx.scale(B_ul_p, 1 / g2), half / h2) + cpx.scale(Ck2_ul, e / 4)
+        val_ur = cpx.scale(A_ur_p + cpx.scale(B_ur_p, 1 / g2), half / h2) + cpx.scale(Ck2_ur, e / 4)
+    elif stencil.corner_mode == "matlab":
+        val_dl = cpx.scale(A_ym_xm + cpx.scale(B_ym_xm, 1 / g2), half / h2) + cpx.scale(Ck2_dl, e / 4)
+        val_dr = cpx.scale(A_ym_xc + cpx.scale(B_ym_xp, 1 / g2), half / h2) + cpx.scale(Ck2_dr, e / 4)
+        val_ul = cpx.scale(A_yp_xm + cpx.scale(B_yc_xm, 1 / g2), half / h2) + cpx.scale(Ck2_ul, e / 4)
+        val_ur = cpx.scale(A_yp_xc + cpx.scale(B_yc_xp, 1 / g2), half / h2) + cpx.scale(Ck2_ur, e / 4)
+    else:
+        raise ValueError(f"unknown corner_mode {stencil.corner_mode!r}")
 
     interior = cpx.stack([val_c, val_l, val_r, val_d, val_u,
                           val_dl, val_dr, val_ul, val_ur])

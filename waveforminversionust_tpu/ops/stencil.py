@@ -158,7 +158,7 @@ def boundary_mask(grid: Grid2D):
 def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
                            stencil: StencilConfig = StencilConfig(),
                            dirichlet_value: float | None = None,
-                           attenuation=None):
+                           attenuation=None, pml_fields=None):
     """Build the nine complex coefficient planes of the Helmholtz operator.
 
     Returns ``coeffs`` of shape (9, ny, nx) complex64 such that
@@ -180,6 +180,10 @@ def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
             sign convention, so waves decay as exp(-alpha * distance)
             (the reference models lossless media only; attenuation is a
             framework addition).
+        pml_fields: optional precomputed (A, B, C) from
+            :func:`pml_stretch_fields` — they depend only on (grid, f, pml),
+            so callers that rebuild the operator per iteration (the FWI
+            loops) hoist them out of the loop.
     """
     ny, nx = grid.ny, grid.nx
     h = jnp.float32(grid.h)
@@ -195,7 +199,8 @@ def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
         k = jax.lax.complex(kr, sgn * alpha)
         k2 = k * k
 
-    A, B, C = pml_stretch_fields(grid, f, pml)
+    A, B, C = (pml_fields if pml_fields is not None
+               else pml_stretch_fields(grid, f, pml))
     b, d, e = stencil_params(jnp.min(vel), jnp.max(vel), f, h, g, stencil)
     b = b.astype(jnp.complex64) if hasattr(b, "astype") else jnp.complex64(b)
     d = d.astype(jnp.complex64)
