@@ -290,3 +290,27 @@ def test_schulz_hybrid_factor_matches_exact(rng):
         jnp.sum(cpx.abs2(r), axis=(1, 2)) / jnp.sum(cpx.abs2(s), axis=(1, 2))))
     assert np.isfinite(rel).all()
     assert rel.max() < 1e-2, rel
+
+
+def test_fast_sweep_ops_match_stock_sweeps(rng):
+    """banded_solve_cpx with precomputed real-embedded sweep operators
+    (prepare_sweep_ops) matches the stock banded sweeps, forward and
+    adjoint."""
+    import numpy as np
+    from waveforminversionust_tpu.ops.split_engine import (
+        banded_factor_cpx, banded_solve_cpx, helmholtz_coefficients_cpx)
+
+    grid = Grid2D.centered(10e-3, 0.8e-3, ymax=12e-3)
+    vel = smooth_blob_phantom(grid, radius=4e-3, dc=60)
+    coeffs = helmholtz_coefficients_cpx(vel, grid, 350e3, PMLConfig(l_pml=2e-3))
+    ny, nx = grid.shape
+    b = cpx.Cpx(jnp.asarray(rng.standard_normal((3, ny, nx)), jnp.float32),
+                jnp.asarray(rng.standard_normal((3, ny, nx)), jnp.float32))
+    slow = banded_factor_cpx(coeffs)
+    fast = banded_factor_cpx(coeffs, precompute_sweeps=True)
+    assert fast.sweeps is not None
+    for adjoint in (False, True):
+        x_slow = cpx.to_numpy(banded_solve_cpx(slow, b, adjoint=adjoint))
+        x_fast = cpx.to_numpy(banded_solve_cpx(fast, b, adjoint=adjoint))
+        rel = np.linalg.norm(x_fast - x_slow) / np.linalg.norm(x_slow)
+        assert rel < 1e-5, (adjoint, rel)

@@ -123,6 +123,12 @@ class SolverConfig:
     # Schur-complement inverses with warm-started Newton-Schulz steps
     # (~2.5x faster factorization on the targeted TPU runtime); 0 = exact.
     factor_schulz_steps: int = 0
+    # Precompute dense real-embedded sweep operators at factor time so each
+    # solve-sweep scan step is ONE MXU matmul instead of ~a dozen
+    # latency-bound ops (split engine; see split_engine.prepare_sweep_ops).
+    # Costs 4x the factor memory (~1.7 GB at 301^2). None = auto: enabled
+    # when the embedded operators fit comfortably (ny*nx^2 <= 512^3-class).
+    fast_sweeps: bool | None = None
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0
     born_krylov: bool = True  # GMRES-accelerate the Born series (2-5x fewer FFTs)

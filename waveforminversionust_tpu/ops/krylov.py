@@ -25,6 +25,9 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import cpx
+from .cpx import Cpx
+
 
 class KrylovResult(NamedTuple):
     x: jnp.ndarray             # (batch, ...) solution
@@ -137,4 +140,133 @@ def gmres(a_op: Callable, b: jnp.ndarray, m_inv: Callable | None = None,
 
     final = jax.lax.while_loop(cond, body, State(x, r, jnp.int32(0)))
     rel = jnp.sqrt(_norm2(final.r) / bnorm2)
+    return KrylovResult(x=final.x, rel_residual=rel, iterations=final.matvecs)
+
+
+# ---------------------------------------------------------------------------
+# Split-complex GMRES (Cpx pairs; see ops.cpx for why this exists on TPU)
+# ---------------------------------------------------------------------------
+
+def _norm2_cpx(a: Cpx):
+    return jnp.sum(a.re * a.re + a.im * a.im,
+                   axis=tuple(range(1, a.re.ndim)))
+
+
+def _bcast(s, like: Cpx):
+    """(batch,) -> (batch, 1, ..., 1) matching ``like``'s field rank."""
+    return s.reshape(s.shape + (1,) * (like.re.ndim - 1))
+
+
+def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int):
+    """One split-complex GMRES(m) cycle (mirror of :func:`_gmres_cycle`).
+
+    The small (m+1, m) Hessenberg least-squares is solved through the real
+    embedding [[Hr, -Hi], [Hi, Hr]] [yr; yi] = [beta e1; 0], which is
+    algebraically the same complex LSQ — min ||b - H y|| over complex y
+    equals the real LSQ over (yr, yi) because the embedding is an isometry.
+    Real batched QR is in the targeted runtime's implemented set; complex
+    QR is not.
+    """
+    batch = r.re.shape[0]
+    beta = jnp.sqrt(_norm2_cpx(r))  # (batch,)
+    inv_beta = 1.0 / jnp.maximum(beta, 1e-38)
+
+    v_shape = (m + 1, batch) + r.re.shape[1:]
+    v = cpx.zeros(v_shape)
+    v = Cpx(v.re.at[0].set(r.re * _bcast(inv_beta, r)),
+            v.im.at[0].set(r.im * _bcast(inv_beta, r)))
+    h = cpx.zeros((batch, m + 1, m))
+
+    def arnoldi_step(j, carry):
+        v, h = carry
+        w = a_op(m_inv(v[j]))
+        idx = jnp.arange(m + 1)
+        mask = (idx <= j).astype(jnp.float32)
+
+        def mgs(i, state):
+            w_, h_ = state
+            # hij = <v_i, w> = sum(conj(v_i) * w)
+            axes = tuple(range(1, w_.re.ndim))
+            hre = jnp.sum(v.re[i] * w_.re + v.im[i] * w_.im, axis=axes)
+            him = jnp.sum(v.re[i] * w_.im - v.im[i] * w_.re, axis=axes)
+            hre = hre * mask[i]
+            him = him * mask[i]
+            br, bi = _bcast(hre, w_), _bcast(him, w_)
+            w_ = Cpx(w_.re - (br * v.re[i] - bi * v.im[i]),
+                     w_.im - (br * v.im[i] + bi * v.re[i]))
+            h_ = Cpx(h_.re.at[:, i, j].set(hre), h_.im.at[:, i, j].set(him))
+            return (w_, h_)
+
+        w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, h))
+        hnext = jnp.sqrt(_norm2_cpx(w))
+        h = Cpx(h.re.at[:, j + 1, j].set(hnext), h.im)
+        inv_h = _bcast(1.0 / jnp.maximum(hnext, 1e-38), w)
+        v = Cpx(v.re.at[j + 1].set(w.re * inv_h),
+                v.im.at[j + 1].set(w.im * inv_h))
+        return (v, h)
+
+    v, h = jax.lax.fori_loop(0, m, arnoldi_step, (v, h))
+
+    # Real-embedded least squares: G (batch, 2(m+1), 2m), rhs (batch, 2(m+1)).
+    g = jnp.concatenate([
+        jnp.concatenate([h.re, -h.im], axis=2),
+        jnp.concatenate([h.im, h.re], axis=2),
+    ], axis=1)
+    rhs = jnp.zeros((batch, 2 * (m + 1)), jnp.float32).at[:, 0].set(beta)
+    q, rr = jnp.linalg.qr(g, mode="reduced")   # q: (b, 2(m+1), 2m)
+    qtb = jnp.einsum("bij,bi->bj", q, rhs)
+    diag = jnp.abs(jnp.diagonal(rr, axis1=1, axis2=2))
+    eps = 1e-30 * jnp.maximum(jnp.max(diag, axis=1, keepdims=True), 1e-38)
+    rr = rr + jnp.eye(2 * m, dtype=jnp.float32) * eps[:, :, None]
+    y2 = jax.scipy.linalg.solve_triangular(rr, qtb[..., None],
+                                           lower=False)[..., 0]
+    y = Cpx(y2[:, :m], y2[:, m:])
+
+    # vy = sum_j y_j v_j over the stored (unpreconditioned) basis.
+    vy = Cpx(jnp.einsum("jb...,bj->b...", v.re[:m], y.re)
+             - jnp.einsum("jb...,bj->b...", v.im[:m], y.im),
+             jnp.einsum("jb...,bj->b...", v.re[:m], y.im)
+             + jnp.einsum("jb...,bj->b...", v.im[:m], y.re))
+    return x + m_inv(vy)
+
+
+def gmres_cpx(a_op: Callable, b: Cpx, m_inv: Callable | None = None,
+              x0: Cpx | None = None, tol: float = 1e-5,
+              maxiter: int = 1000, restart: int = 16) -> KrylovResult:
+    """Restarted GMRES on split-complex data; semantics match :func:`gmres`.
+
+    a_op/m_inv map Cpx (batch, ...) -> Cpx (batch, ...). Monotone and
+    NaN-safe per lane exactly like the native path.
+    """
+    if m_inv is None:
+        m_inv = lambda v: v
+    x = cpx.zeros(b.re.shape) if x0 is None else x0
+    r = b - a_op(x) if x0 is not None else b
+    bnorm2 = jnp.maximum(_norm2_cpx(b), 1e-38)
+    tol2 = jnp.float32(tol) ** 2 * bnorm2
+
+    class State(NamedTuple):
+        x: Cpx
+        r: Cpx
+        matvecs: jnp.ndarray
+
+    def cond(st: State):
+        res = _norm2_cpx(st.r)
+        unconverged = (res > tol2) & jnp.isfinite(res)
+        return jnp.any(unconverged) & (st.matvecs < maxiter)
+
+    def body(st: State):
+        x_new = _gmres_cycle_cpx(a_op, m_inv, st.x, st.r, restart)
+        r_new = b - a_op(x_new)
+        res_new = _norm2_cpx(r_new)
+        accept = (res_new <= _norm2_cpx(st.r)) & jnp.isfinite(res_new)
+        af_x = _bcast(accept, st.x)
+        return State(x=Cpx(jnp.where(af_x, x_new.re, st.x.re),
+                           jnp.where(af_x, x_new.im, st.x.im)),
+                     r=Cpx(jnp.where(af_x, r_new.re, st.r.re),
+                           jnp.where(af_x, r_new.im, st.r.im)),
+                     matvecs=st.matvecs + restart + 1)
+
+    final = jax.lax.while_loop(cond, body, State(x, r, jnp.int32(0)))
+    rel = jnp.sqrt(_norm2_cpx(final.r) / bnorm2)
     return KrylovResult(x=final.x, rel_residual=rel, iterations=final.matvecs)

@@ -101,6 +101,10 @@ def batched_small_inv_pallas(p: Cpx, interpret: bool = False) -> Cpx:
 
     grid = (b_pad // bt,)
     spec = pl.BlockSpec((b, b, bt), lambda i: (0, 0, i))
+    # Double-buffered pipelining of 2 in + 2 out (b, b, 128) f32 blocks hits
+    # the default 16 MB scoped-VMEM cap exactly at b=64; the chip has far
+    # more VMEM than that, so raise the limit instead of shrinking blocks.
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     out_re, out_im = pl.pallas_call(
         functools.partial(_gj_kernel, b),
         grid=grid,
@@ -108,6 +112,7 @@ def batched_small_inv_pallas(p: Cpx, interpret: bool = False) -> Cpx:
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((b, b, b_pad), jnp.float32)] * 2,
         input_output_aliases={0: 0, 1: 1},
+        compiler_params=params,
         interpret=interpret,
     )(re, im)
 

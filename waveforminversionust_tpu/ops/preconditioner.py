@@ -22,7 +22,9 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 
 from ..models.grid import Grid2D
-from .stencil import constant_stencil_symbol
+from . import cpx
+from .cpx import Cpx
+from .stencil import constant_stencil_symbol, constant_stencil_symbol_parts
 
 
 def good_fft_size(n: int) -> int:
@@ -80,5 +82,40 @@ def make_fft_preconditioner(grid: Grid2D, params: PrecondParams,
         vp = jnp.pad(v, pad)
         w = jnp.fft.ifft2(jnp.fft.fft2(vp) * inv_symbol)
         return w[..., :ny, :nx].astype(v.dtype)
+
+    return m_inv
+
+
+def shifted_k2_cpx(vel, f, beta: float, sign: float) -> Cpx:
+    """Split-complex :func:`shifted_k2` (no complex scalars formed)."""
+    c_ref = (jnp.min(vel) + jnp.max(vel)) / 2
+    k2 = ((2 * jnp.pi * f / c_ref) ** 2).astype(jnp.float32)
+    return Cpx(k2, k2 * jnp.float32(beta * sign))
+
+
+def make_fft_preconditioner_cpx(grid: Grid2D, params: PrecondParams,
+                                adjoint: bool = False) -> Callable:
+    """Split-complex :func:`make_fft_preconditioner`.
+
+    ``params.k2_ref`` must be a :class:`~.cpx.Cpx` scalar (the rest of the
+    params are real). Returns M_inv(v) for Cpx fields of shape (..., ny, nx).
+    The targeted TPU runtime implements fft/real/imag but not complex data
+    movement, so the whole application stays in split form (cpx.fft2).
+    """
+    ny, nx = grid.ny, grid.nx
+    nfy, nfx = good_fft_size(ny), good_fft_size(nx)
+    s0, s1 = constant_stencil_symbol_parts(params.b, params.d, params.e,
+                                           grid.h, grid.aspect, nfy, nfx)
+    k2 = params.k2_ref
+    symbol = Cpx(s0 + k2.re * s1, k2.im * s1)
+    if adjoint:
+        symbol = symbol.conj()
+    inv_symbol = cpx.reciprocal(symbol)
+
+    def m_inv(v: Cpx) -> Cpx:
+        pad = [(0, 0)] * (v.ndim - 2) + [(0, nfy - ny), (0, nfx - nx)]
+        vp = cpx.pad(v, pad)
+        w = cpx.ifft2(cpx.mul(cpx.fft2(vp), inv_symbol))
+        return w[..., :ny, :nx]
 
     return m_inv

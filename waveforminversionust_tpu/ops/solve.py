@@ -36,11 +36,13 @@ from ..config import SolverConfig, SolverMethod
 from ..models.grid import Grid2D
 from . import apply
 from .banded import BandedFactor, banded_factor, banded_solve
-from .krylov import gmres
+from .krylov import gmres, gmres_cpx
 from .born import born_gmres_solve, born_series_solve
 from .cpx import Cpx
 from .cyclic import CRFactor, cr_factor_cpx, cr_solve_cpx
-from .preconditioner import PrecondParams, make_fft_preconditioner, shifted_k2
+from .preconditioner import (PrecondParams, make_fft_preconditioner,
+                             make_fft_preconditioner_cpx, shifted_k2,
+                             shifted_k2_cpx)
 from .split_engine import (BandedFactorCpx, adjoint_coefficients_cpx,
                            banded_factor_cpx, banded_solve_cpx,
                            born_series_solve_cpx, h_apply_adjoint_cpx,
@@ -79,7 +81,32 @@ def _fd_solve_impl(coeffs, rhs, precond, grid, cfg, adjoint_precond, x0=None,
                    factor: BandedFactor | None = None):
     """Primal FD solve. ``adjoint_precond`` marks that ``coeffs`` describe an
     adjoint operator (flips the preconditioner shift / reuses the factor's
-    adjoint sweeps)."""
+    adjoint sweeps).
+
+    Balance note for GMRES systems. The stock planes H_s = D H rescale the
+    unit Dirichlet border rows of H up to the O(1e6) interior row magnitude.
+    Under (conjugate) transposition the SAME property holds: H_s^H = H^H D
+    and H_s^T = H^T D only rescale the UNIT border columns/rows of H^H /
+    H^T up to the interior magnitude — they remain the well-conditioned
+    forms and must be solved directly (then u = D w recovers the border
+    values exactly: the border unknown w_j = u_j / s appears with column
+    weight s, so GMRES resolves it to ~tol * ||rhs|| / s absolute error).
+    The seemingly natural u-space form H^H u = s is the BROKEN one: its
+    border unknowns carry unit column weight inside an O(1e6) operator —
+    condition ~1e6 — and f32 GMRES stalls with the entire O(1) border
+    solution mass unresolved (the adjoint identity <H^-1 a, b> == <a,
+    H^-H b> fails by 100% in u-space and holds to ~5e-7 in w-space).
+
+    Accuracy model of the w-space GMRES adjoint: interior values are
+    residual-accurate; the 1-px Dirichlet closure ring (outside the PML,
+    physically meaningless) is accurate to ~tol_eff * ||rhs|| ABSOLUTE —
+    when the adjoint solution sits far below the rhs scale (delta adjoint
+    sources: ~1e6 below), the ring is solver-floor noise. This is inherent
+    to f32 iterative methods (a closed-form border fill from the interior
+    amplifies interior noise by the same 1e6 row scale — measured, only 9x
+    better); use the BANDED direct method for componentwise border
+    accuracy.
+    """
     if cfg.method == SolverMethod.BANDED:
         if factor is None:
             base = apply.adjoint_coefficients(coeffs) if adjoint_precond else coeffs
@@ -93,20 +120,25 @@ def _fd_solve_impl(coeffs, rhs, precond, grid, cfg, adjoint_precond, x0=None,
     return res.x, None
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fd_solve(coeffs, rhs, precond: PrecondParams, grid: Grid2D,
-              cfg: SolverConfig):
-    u, _ = _fd_solve_impl(coeffs, rhs, precond, grid, cfg, adjoint_precond=False)
+              cfg: SolverConfig, adjoint_system: bool = False):
+    """``adjoint_system`` declares the planes describe the balanced adjoint
+    operator H_s^H rather than the balanced forward H_s = D H; the bwd pass
+    needs this to pose its own transpose system (A^-T of H_s^H is a forward
+    H_s solve under conjugation; A^-T of H_s is an H_s^T solve)."""
+    u, _ = _fd_solve_impl(coeffs, rhs, precond, grid, cfg,
+                          adjoint_precond=False)
     return u
 
 
-def _fd_solve_fwd(coeffs, rhs, precond, grid, cfg):
+def _fd_solve_fwd(coeffs, rhs, precond, grid, cfg, adjoint_system):
     u, factor = _fd_solve_impl(coeffs, rhs, precond, grid, cfg,
                                adjoint_precond=False)
     return u, (coeffs, u, precond, factor)
 
 
-def _fd_solve_bwd(grid, cfg, residuals, u_bar):
+def _fd_solve_bwd(grid, cfg, adjoint_system, residuals, u_bar):
     """Pure-transpose VJP (JAX complex convention, matching jnp.linalg.solve):
     lam = A^-T u_bar; rhs_bar = lam; A_bar = -lam u^T, expressed per plane."""
     coeffs, u, precond, factor = residuals
@@ -116,11 +148,23 @@ def _fd_solve_bwd(grid, cfg, residuals, u_bar):
         lam = jnp.conj(_banded_solve_refined(factor, jnp.conj(u_bar), cfg,
                                              adjoint=True))
     else:
-        t_coeffs = apply.transpose_coefficients(coeffs)
-        # The constant-coefficient preconditioner stencil is symmetric, so
-        # M^T = M: reuse the forward preconditioner.
-        lam, _ = _fd_solve_impl(t_coeffs, u_bar, precond, grid, cfg,
-                                adjoint_precond=False)
+        if adjoint_system:
+            # A = H_s^H: A^-T v = conj(A^-H conj(v)) and A^H = H_s, so the
+            # transpose solve is a FORWARD balanced solve on conj(u_bar).
+            # (precond params carry the adjoint shift sign here;
+            # adjoint_precond=True conjugates the symbol back.)
+            f_coeffs = apply.adjoint_coefficients(coeffs)
+            z, _ = _fd_solve_impl(f_coeffs, jnp.conj(u_bar), precond, grid,
+                                  cfg, adjoint_precond=True)
+            lam = jnp.conj(z)
+        else:
+            # A = H_s = D H: A^T = H^T D is still balanced (D only rescales
+            # the unit boundary columns of H^T up to the interior row
+            # magnitude). The constant-coefficient preconditioner stencil is
+            # symmetric, so M^T = M: reuse the forward preconditioner.
+            t_coeffs = apply.transpose_coefficients(coeffs)
+            lam, _ = _fd_solve_impl(t_coeffs, u_bar, precond, grid, cfg,
+                                    adjoint_precond=False)
     rhs_bar = lam
     coeffs_bar = jnp.stack([
         -jnp.sum(lam * _shift(u, dy, dx), axis=0)
@@ -141,35 +185,65 @@ def _shift_cpx(u: Cpx, dy, dx):
     return Cpx(_shift(u.re, dy, dx), _shift(u.im, dy, dx))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fd_solve_cpx(coeffs: Cpx, rhs: Cpx, grid: Grid2D, cfg: SolverConfig):
+def _fd_solve_cpx_primal(coeffs: Cpx, rhs: Cpx, precond, grid: Grid2D,
+                         cfg: SolverConfig, adjoint_system: bool = False):
+    """Returns (u, factor-or-None). GMRES uses the split shifted-Laplacian
+    preconditioner; BANDED the direct factorization. ``adjoint_system``
+    marks that the planes describe the balanced conjugate-transposed system
+    H_s^H (still well-conditioned; see :func:`_fd_solve_impl`) — the bwd
+    pass uses it to orient its own hermitian solve."""
+    if cfg.method == SolverMethod.GMRES:
+        m_inv = make_fft_preconditioner_cpx(grid, precond, adjoint=False)
+        a_op = lambda v: h_apply_cpx(coeffs, v)
+        res = gmres_cpx(a_op, rhs, m_inv=m_inv, tol=cfg.tol,
+                        maxiter=cfg.maxiter)
+        return res.x, None
     factor = _factor_cpx(coeffs, cfg)
-    return _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
+    return _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False), factor
 
 
-def _fd_solve_cpx_fwd(coeffs, rhs, grid, cfg):
-    factor = _factor_cpx(coeffs, cfg)
-    u = _banded_solve_refined_cpx(factor, rhs, cfg, adjoint=False)
-    return u, (coeffs, u, factor)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fd_solve_cpx(coeffs: Cpx, rhs: Cpx, precond, grid: Grid2D,
+                  cfg: SolverConfig, adjoint_system: bool = False):
+    u, _ = _fd_solve_cpx_primal(coeffs, rhs, precond, grid, cfg,
+                                adjoint_system)
+    return u
 
 
-def _fd_solve_cpx_bwd(grid, cfg, residuals, u_bar):
+def _fd_solve_cpx_fwd(coeffs, rhs, precond, grid, cfg, adjoint_system):
+    u, factor = _fd_solve_cpx_primal(coeffs, rhs, precond, grid, cfg,
+                                     adjoint_system)
+    return u, (coeffs, u, factor, precond)
+
+
+def _fd_solve_cpx_bwd(grid, cfg, adjoint_system, residuals, u_bar):
     """Split-representation VJP. With complex data as independent (re, im)
     real pairs, the chain-rule works out to the HERMITIAN solve (conjugation
     is explicit in the representation rather than deferred to grad):
         w   = u_bar.re + i u_bar.im
         lam = H^-H w;  rhs_bar = lam;  coeffs_bar[s] = -sum_b lam*conj(u<<s)
     FD-validated in tests/test_split_engine.py."""
-    coeffs, u, factor = residuals
+    coeffs, u, factor, precond = residuals
     u_bar = Cpx(u_bar.re, u_bar.im)
-    lam = _banded_solve_refined_cpx(factor, u_bar, cfg, adjoint=True)
+    if factor is None:  # GMRES: Hermitian solve with the conjugate symbol
+        # lam = A^-H u_bar. Both A = H_s and A = H_s^H have balanced
+        # hermitian transposes (D only rescales the unit boundary
+        # columns/rows; see _fd_solve_impl) — solve them directly.
+        m_inv = make_fft_preconditioner_cpx(grid, precond, adjoint=True)
+        herm = adjoint_coefficients_cpx(coeffs)  # = H_s if A was H_s^H
+        a_op = lambda v: h_apply_cpx(herm, v)
+        lam = gmres_cpx(a_op, u_bar, m_inv=m_inv, tol=cfg.tol,
+                        maxiter=cfg.maxiter).x
+    else:
+        lam = _banded_solve_refined_cpx(factor, u_bar, cfg, adjoint=True)
     rhs_bar = lam
     planes = []
     for (dy, dx) in STENCIL_OFFSETS:
         t = cpxlib.mul(lam, _shift_cpx(u, dy, dx).conj())
         planes.append(Cpx(-jnp.sum(t.re, axis=0), -jnp.sum(t.im, axis=0)))
     coeffs_bar = cpxlib.stack(planes)
-    return coeffs_bar, rhs_bar
+    precond_bar = jax.tree_util.tree_map(jnp.zeros_like, precond)
+    return coeffs_bar, rhs_bar, precond_bar
 
 
 _fd_solve_cpx.defvjp(_fd_solve_cpx_fwd, _fd_solve_cpx_bwd)
@@ -181,34 +255,44 @@ def _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0,
     single = src.ndim == 2
     if single:
         src = Cpx(src.re[None], src.im[None])
-    if config.method != SolverMethod.BANDED:
+    if config.method not in (SolverMethod.BANDED, SolverMethod.GMRES):
         raise NotImplementedError(
-            "split_complex differentiable solve supports the banded method")
+            "split_complex differentiable solve supports the banded and "
+            "gmres methods")
     coeffs = helmholtz_coefficients_cpx(vel, grid, f, config.pml,
                                         config.stencil,
                                         attenuation=attenuation)
-    if adjoint:
-        coeffs = adjoint_coefficients_cpx(coeffs)
+    is_gmres = config.method == SolverMethod.GMRES
     scale = dirichlet_scale(grid)
     d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
+    if adjoint:
+        # Balanced w-space adjoint for all methods: H_s^H w = s, u = D w
+        # (H_s^H stays balanced — see _fd_solve_impl).
+        coeffs = adjoint_coefficients_cpx(coeffs)
+    # Shift sign follows the operator actually being solved (see shifted_k2).
+    precond = (_split_precond_params(vel, f, grid, config,
+                                     sign=1.0 if adjoint else -1.0)
+               if is_gmres else None)
+    w_space_adj = adjoint
     if not adjoint:
         src = cpxlib.scale(src, d_map)
     if x0 is not None:
         x0 = jax.lax.stop_gradient(cpxlib.of(x0))
         if x0.ndim == 2:
             x0 = Cpx(x0.re[None], x0.im[None])
-        if adjoint:
+        if w_space_adj:
             x0 = cpxlib.scale(x0, 1.0 / d_map)
         r0 = src - h_apply_cpx(coeffs, x0)
-        u = x0 + _fd_solve_cpx(coeffs, r0, grid, config)
+        u = x0 + _fd_solve_cpx(coeffs, r0, precond, grid, config,
+                               bool(adjoint))
     else:
-        u = _fd_solve_cpx(coeffs, src, grid, config)
-    if adjoint:
+        u = _fd_solve_cpx(coeffs, src, precond, grid, config, bool(adjoint))
+    if w_space_adj:
         u = cpxlib.scale(u, d_map)
     # Diagnostics on a stop-gradient side path.
     coeffs_sg = jax.lax.stop_gradient(coeffs)
     w_sg = jax.lax.stop_gradient(
-        cpxlib.scale(u, 1.0 / d_map) if adjoint else u)
+        cpxlib.scale(u, 1.0 / d_map) if w_space_adj else u)
     res = h_apply_cpx(coeffs_sg, w_sg) - jax.lax.stop_gradient(src)
     rel = jnp.sqrt(jnp.sum(cpxlib.abs2(res), axis=(1, 2))
                    / jnp.maximum(jnp.sum(cpxlib.abs2(jax.lax.stop_gradient(src)),
@@ -301,14 +385,13 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
     scale = dirichlet_scale(grid)
     d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
     if cfg.split_complex:
-        if cfg.method == SolverMethod.GMRES:
-            raise NotImplementedError("split_complex GMRES-on-FD not available")
         coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil,
                                             attenuation=attenuation,
                                             pml_fields=pml_fields)
         factor = (_factor_cpx(coeffs, cfg)
                   if cfg.method == SolverMethod.BANDED else None)
-        precond = None
+        precond = (_split_precond_params(vel, f, grid, cfg)
+                   if cfg.method == SolverMethod.GMRES else None)
     else:
         coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False,
                                          attenuation=attenuation,
@@ -345,10 +428,17 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
             u = u * op.d_map
     else:
         if adjoint:
+            # Balanced w-space adjoint (same recipe as the banded branch):
+            # solve H_s^H w = s, u = D w. H_s^H = H^H D only rescales the
+            # UNIT boundary columns of H^H up to the interior row magnitude
+            # — it is the well-conditioned form; the u-space H^H itself
+            # carries weight-1 boundary unknowns inside an O(1e6) operator
+            # and stalls GMRES (see _fd_solve_impl).
             coeffs = apply.adjoint_coefficients(op.coeffs)
-            u, _ = _fd_solve_impl(coeffs, src, op.precond, grid, cfg,
-                                  adjoint_precond=True, x0=x0)
-            u = u * op.d_map
+            w, _ = _fd_solve_impl(coeffs, src, op.precond, grid, cfg,
+                                  adjoint_precond=True,
+                                  x0=None if x0 is None else x0 / op.d_map)
+            u = w * op.d_map
         else:
             u, _ = _fd_solve_impl(op.coeffs, src * op.d_map, op.precond, grid,
                                   cfg, adjoint_precond=False, x0=x0)
@@ -364,7 +454,14 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
     if cfg.factorization == "cr":
         return cr_factor_cpx(coeffs)
     if cfg.factorization == "thomas":
-        return banded_factor_cpx(coeffs, cfg.factor_schulz_steps)
+        ny, nx = coeffs.re.shape[1], coeffs.re.shape[2]
+        fast = cfg.fast_sweeps
+        if fast is None:
+            # auto: the four embedded (ny, 2nx, 2nx) f32 operators must fit
+            # comfortably — cap their total at ~2.2 GB (301^2 uses 1.75 GB).
+            fast = 4 * ny * (2 * nx) ** 2 * 4 <= 2.2e9
+        return banded_factor_cpx(coeffs, cfg.factor_schulz_steps,
+                                 precompute_sweeps=bool(fast))
     raise ValueError(f"unknown factorization {cfg.factorization!r}")
 
 
@@ -378,6 +475,22 @@ def _banded_solve_refined_cpx(factor, rhs: Cpx,
         r = rhs - opfn(x)
         x = x + base(factor, r, adjoint=adjoint)
     return x
+
+
+def _split_precond_params(vel, f, grid: Grid2D, cfg: SolverConfig,
+                          sign: float = -1.0) -> PrecondParams:
+    """Shifted-Laplacian parameters with a split-complex k2_ref (mirror of
+    the precond half of :func:`build_operator` for the split engine)."""
+    vel_sg = jax.lax.stop_gradient(jnp.asarray(vel, jnp.float32))
+    b, d, e = stencil_params(jnp.min(vel_sg), jnp.max(vel_sg), f, grid.h,
+                             grid.aspect, cfg.stencil)
+    k2_ref = shifted_k2_cpx(vel_sg, f, cfg.shift_beta, sign)
+    return PrecondParams(
+        k2_ref=jax.lax.stop_gradient(k2_ref),
+        b=jnp.asarray(b, jnp.float32),
+        d=jax.lax.stop_gradient(jnp.real(d)).astype(jnp.float32),
+        e=jax.lax.stop_gradient(jnp.real(e)).astype(jnp.float32),
+    )
 
 
 def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
@@ -397,9 +510,25 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
         u = _banded_solve_refined_cpx(op.factor, rhs, cfg, adjoint=adjoint)
         if adjoint:
             u = cpxlib.scale(u, op.d_map)
+    elif cfg.method == SolverMethod.GMRES:
+        m_inv = make_fft_preconditioner_cpx(grid, op.precond, adjoint=adjoint)
+        if adjoint:
+            # Balanced w-space adjoint: H_s^H w = s, u = D w (see
+            # _fd_solve_impl for why the u-space H^H form stalls GMRES).
+            coeffs = adjoint_coefficients_cpx(op.coeffs)
+            a_op = lambda v: h_apply_cpx(coeffs, v)
+            res = gmres_cpx(a_op, src, m_inv=m_inv, tol=cfg.tol,
+                            maxiter=cfg.maxiter)
+            u = cpxlib.scale(res.x, op.d_map)
+        else:
+            a_op = lambda v: h_apply_cpx(op.coeffs, v)
+            res = gmres_cpx(a_op, cpxlib.scale(src, op.d_map), m_inv=m_inv,
+                            tol=cfg.tol, maxiter=cfg.maxiter)
+            u = res.x
     else:
         raise NotImplementedError(
-            "split_complex operator solve supports banded and born methods")
+            "split_complex operator solve supports banded, gmres and born "
+            "methods")
     if single:
         u = u[0]
     return u
@@ -493,10 +622,13 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
         # Boundary-row scaling bookkeeping (see stencil.dirichlet_scale):
         # the planes describe H_s = D H with D = diag(scale on the border).
         #  * forward solve H u = s  <=>  H_s u = D s      (scale the RHS)
-        #  * adjoint solve H^H u = s <=> H_s^H w = s, u = D w (scale output)
+        #  * adjoint solve (all methods): H^H u = s <=> H_s^H w = s, u = D w
+        #    (H_s^H stays balanced — D only rescales the unit boundary
+        #    columns of H^H; see _fd_solve_impl)
         scale = dirichlet_scale(grid)
         border = boundary_mask(grid)
         d_map = (1.0 + (scale - 1.0) * border).astype(jnp.complex64)
+        w_space_adj = adjoint
         if not adjoint:
             src = src * d_map
 
@@ -504,22 +636,22 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
             x0 = jax.lax.stop_gradient(jnp.asarray(x0, jnp.complex64))
             if x0.ndim == 2:
                 x0 = x0[None]
-            if adjoint:
+            if w_space_adj:
                 x0 = x0 / d_map  # convert u-space warm start to w-space
             # Warm start: solve for the correction du relative to x0, so the
             # custom VJP still sees plain linear solves. Keeping coeffs
             # differentiable in r0 makes the total coefficient cotangent
             # exact: -lam * conj(shift(du + x0)) = -lam * conj(shift(u)).
             r0 = src - apply.h_apply(coeffs, x0)
-            du = _fd_solve(coeffs, r0, precond, grid, config)
+            du = _fd_solve(coeffs, r0, precond, grid, config, bool(adjoint))
             u = x0 + du
         else:
-            u = _fd_solve(coeffs, src, precond, grid, config)
-        if adjoint:
+            u = _fd_solve(coeffs, src, precond, grid, config, bool(adjoint))
+        if w_space_adj:
             u = u * d_map
         # Diagnostics on a stop-gradient side path (cheap: one operator apply).
         coeffs_sg = jax.lax.stop_gradient(coeffs)
-        w_sg = jax.lax.stop_gradient(u / d_map if adjoint else u)
+        w_sg = jax.lax.stop_gradient(u / d_map if w_space_adj else u)
         res = apply.h_apply(coeffs_sg, w_sg) - jax.lax.stop_gradient(src)
         rel = jnp.sqrt(
             jnp.sum(jnp.abs(res) ** 2, axis=(1, 2))

@@ -184,9 +184,26 @@ def h_apply_transpose_cpx(coeffs: Cpx, u: Cpx) -> Cpx:
 # Banded direct solver (split form of banded.banded_factor/banded_solve)
 # ---------------------------------------------------------------------------
 
+class SweepOpsCpx(NamedTuple):
+    """Precomputed real-embedded sweep operators (see prepare_sweep_ops).
+
+    Each is (ny, 2nx, 2nx) float32: the [[Re, -Im], [Im, Re]] embedding of
+    a complex (nx, nx) matrix per grid row, so one complex gemv per scan
+    step is ONE real MXU matmul instead of ~a dozen latency-bound ops."""
+
+    ge: jnp.ndarray  # G_i
+    me: jnp.ndarray  # M_i = L_i G_{i-1}   (me[0] = 0)
+    ne: jnp.ndarray  # N_i = G_i U_i       (ne[-1] = 0)
+    ru: jnp.ndarray  # R_i = U_{i-1} G_i   (ru[0] = 0)
+
+
 class BandedFactorCpx(NamedTuple):
     g: Cpx       # (ny, nx, nx) Schur-complement inverses
     coeffs: Cpx  # (9, ny, nx)
+    # Optional precomputed sweep operators (4x the memory of g; enabled for
+    # production-sized 2D solves via SolverConfig.fast_sweeps — see
+    # prepare_sweep_ops).
+    sweeps: SweepOpsCpx | None = None
 
 
 def _shift_x(v, d: int):
@@ -257,7 +274,8 @@ def _schulz_refine(g: Cpx, s_mat: Cpx, steps: int):
 
 def banded_factor_cpx(coeffs: Cpx, schulz_steps: int = 0,
                       exact_head: int = 12, exact_tail: int = 2,
-                      exact_every: int = 16) -> BandedFactorCpx:
+                      exact_every: int = 16,
+                      precompute_sweeps: bool = False) -> BandedFactorCpx:
     """Split-complex block-Thomas factorization (cf. banded.banded_factor).
 
     ``schulz_steps > 0`` enables the hybrid factorization: most rows compute
@@ -304,7 +322,114 @@ def banded_factor_cpx(coeffs: Cpx, schulz_steps: int = 0,
 
     _, g_rest = jax.lax.scan(step, g0, xs)
     g = cpx.concat([Cpx(g0.re[None], g0.im[None]), g_rest], 0)
-    return BandedFactorCpx(g=g, coeffs=coeffs)
+    factor = BandedFactorCpx(g=g, coeffs=coeffs)
+    if precompute_sweeps:
+        factor = factor._replace(sweeps=prepare_sweep_ops(factor))
+    return factor
+
+
+def _embed_real(x: Cpx) -> jnp.ndarray:
+    """[[Re, -Im], [Im, Re]] real embedding, (..., n, n) -> (..., 2n, 2n)."""
+    top = jnp.concatenate([x.re, -x.im], axis=-1)
+    bot = jnp.concatenate([x.im, x.re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def prepare_sweep_ops(factor: BandedFactorCpx) -> SweepOpsCpx:
+    """Precompute the dense per-row sweep operators of the block-Thomas
+    solve in real-embedded form.
+
+    Why: the solve sweeps are latency-bound scans — each step of the stock
+    path does a banded matvec (~6 elementwise ops) plus a split-complex
+    gemv (4 real einsums), ~25 us/step on the targeted runtime. Folding the
+    banded factors into dense per-row operators
+
+        forward:  z_i = b_i - M_i z_{i-1};  x_i = (G z)_i - N_i x_{i+1}
+        adjoint:  w_i = (G^H b)_i - R_i^H w_{i-1};  x_i = w_i - M_{i+1}^H x_next
+
+    (with the G z / G^H b products hoisted out of the scan as ONE batched
+    einsum) leaves a single real MXU matmul per scan step. The embeddings
+    satisfy emb(A)^T = emb(A^H), so the adjoint sweeps reuse the same
+    arrays with a transposed contraction — no extra memory. Products of a
+    tridiagonal with a dense matrix are cheap VPU row/column combines.
+    """
+    g, c = factor.g, factor.coeffs
+    m = jax.vmap(_row_op_lm_cpx)(c[3, 1:], c[5, 1:], c[6, 1:], g[:-1])
+    n = jax.vmap(_col_op_gu_cpx)(g[:-1], c[4, :-1], c[7, :-1], c[8, :-1])
+    r = jax.vmap(_row_op_lm_cpx)(c[4, :-1], c[7, :-1], c[8, :-1], g[1:])
+    z1 = cpx.zeros((1,) + g.re.shape[1:])
+    return SweepOpsCpx(
+        ge=_embed_real(g),
+        me=_embed_real(cpx.concat([z1, m], 0)),
+        ne=_embed_real(cpx.concat([n, z1], 0)),
+        ru=_embed_real(cpx.concat([z1, r], 0)),
+    )
+
+
+def _stack_vec(v: Cpx) -> jnp.ndarray:
+    """(..., nx) Cpx -> (..., 2nx) f32 matching the real embedding."""
+    return jnp.concatenate([v.re, v.im], axis=-1)
+
+
+def _unstack_vec(v: jnp.ndarray) -> Cpx:
+    nx = v.shape[-1] // 2
+    return Cpx(v[..., :nx], v[..., nx:])
+
+
+_EMB_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _banded_solve_fast_cpx(sweeps: SweepOpsCpx, b: Cpx,
+                           adjoint: bool) -> Cpx:
+    """Sweep solve with precomputed operators (see prepare_sweep_ops)."""
+    bt = _stack_vec(cpx.apply_parts(lambda p: jnp.moveaxis(p, 1, 0), b))
+    # (ny, batch, 2nx) real
+
+    def mv(mat, v):  # emb(A) v
+        return jnp.einsum("ij,bj->bi", mat, v, precision=_EMB_PRECISION)
+
+    def mvh(mat, v):  # emb(A)^T v = emb(A^H) v
+        return jnp.einsum("ji,bj->bi", mat, v, precision=_EMB_PRECISION)
+
+    if not adjoint:
+        def fwd(z_prev, row):
+            z = row["b"] - mv(row["m"], z_prev)
+            return z, z
+
+        _, z_rest = jax.lax.scan(fwd, bt[0], dict(m=sweeps.me[1:], b=bt[1:]))
+        z = jnp.concatenate([bt[:1], z_rest], 0)
+        gz = jnp.einsum("rij,rbj->rbi", sweeps.ge, z,
+                        precision=_EMB_PRECISION)
+
+        def bwd(x_next, row):
+            x = row["gz"] - mv(row["n"], x_next)
+            return x, x
+
+        _, x_rest = jax.lax.scan(bwd, gz[-1],
+                                 dict(n=sweeps.ne[:-1], gz=gz[:-1]),
+                                 reverse=True)
+        x = jnp.concatenate([x_rest, gz[-1:]], 0)
+    else:
+        gb = jnp.einsum("rji,rbj->rbi", sweeps.ge, bt,
+                        precision=_EMB_PRECISION)
+
+        def fwd(w_prev, row):
+            w = row["gb"] - mvh(row["r"], w_prev)
+            return w, w
+
+        _, w_rest = jax.lax.scan(fwd, gb[0], dict(r=sweeps.ru[1:],
+                                                  gb=gb[1:]))
+        w = jnp.concatenate([gb[:1], w_rest], 0)
+
+        def bwd(x_next, row):
+            x = row["w"] - mvh(row["m_next"], x_next)
+            return x, x
+
+        _, x_rest = jax.lax.scan(bwd, w[-1], dict(m_next=sweeps.me[1:],
+                                                  w=w[:-1]), reverse=True)
+        x = jnp.concatenate([x_rest, w[-1:]], 0)
+
+    return cpx.apply_parts(lambda p: jnp.moveaxis(p, 0, 1), _unstack_vec(x))
 
 
 def _gemv(gmat: Cpx, v: Cpx) -> Cpx:
@@ -317,7 +442,11 @@ def _gemv_h(gmat: Cpx, v: Cpx) -> Cpx:
 
 def banded_solve_cpx(factor: BandedFactorCpx, b: Cpx,
                      adjoint: bool = False) -> Cpx:
-    """Split-complex sweeps (cf. banded.banded_solve)."""
+    """Split-complex sweeps (cf. banded.banded_solve). Uses the
+    precomputed MXU sweep operators when the factor carries them
+    (see prepare_sweep_ops)."""
+    if factor.sweeps is not None:
+        return _banded_solve_fast_cpx(factor.sweeps, b, adjoint)
     c = factor.coeffs
     g = factor.g
     bt = cpx.apply_parts(lambda p: jnp.moveaxis(p, 1, 0), b)  # (ny, batch, nx)
@@ -479,3 +608,5 @@ def transpose_coefficients_cpx(coeffs: Cpx) -> Cpx:
 def adjoint_coefficients_cpx(coeffs: Cpx) -> Cpx:
     """Split form of apply.adjoint_coefficients (conjugate transpose)."""
     return transpose_coefficients_cpx(coeffs).conj()
+
+

@@ -289,6 +289,41 @@ def helmholtz_coefficients(vel, grid: Grid2D, f, pml: PMLConfig = PMLConfig(),
     return coeffs
 
 
+def constant_stencil_symbol_parts(b, d, e, h: float, g: float,
+                                  nfy: int, nfx: int):
+    """Real decomposition of the constant-coefficient stencil symbol.
+
+    The symbol is affine in the (complex) reference wavenumber-squared:
+    ``symbol(k2) = S0 + k2 * S1`` with S0, S1 real (b, d, e are real in
+    practice — the dispersion fit returns real parameters). Returns
+    (S0, S1) as (nfy, nfx) float32 arrays; shared by the native and
+    split-complex preconditioner symbols.
+    """
+    g2 = g * g
+    h2 = h * h
+    # k2-independent parts of (c0, lr, ud, corner)
+    c0_a = -b * (2 + 2 / g2) / h2
+    lr_a = (b - (1 - b) / g2) / h2
+    ud_a = (b / g2 - (1 - b)) / h2
+    co_a = ((1 - b) / 2) * (1 + 1 / g2) / h2
+    # coefficients of k2
+    c0_k = 1 - d - e
+    lr_k = d / 4
+    ud_k = d / 4
+    co_k = e / 4
+
+    ty = 2 * jnp.pi * jnp.fft.fftfreq(nfy).astype(jnp.float32)
+    tx = 2 * jnp.pi * jnp.fft.fftfreq(nfx).astype(jnp.float32)
+    cy = jnp.cos(ty)[:, None]
+    cx = jnp.cos(tx)[None, :]
+
+    def combine(c0, lr, ud, co):
+        return (c0 + 2 * lr * cx + 2 * ud * cy + 4 * co * cx * cy).astype(
+            jnp.float32)
+
+    return combine(c0_a, lr_a, ud_a, co_a), combine(c0_k, lr_k, ud_k, co_k)
+
+
 def constant_stencil_symbol(k2_ref, b, d, e, h: float, g: float,
                             nfy: int, nfx: int):
     """Fourier symbol of the constant-coefficient 9-point stencil.
@@ -299,15 +334,6 @@ def constant_stencil_symbol(k2_ref, b, d, e, h: float, g: float,
 
     Returns: (nfy, nfx) complex64 eigenvalue array.
     """
-    g2 = g * g
-    h2 = h * h
-    c0 = (1 - d - e) * k2_ref - b * (2 + 2 / g2) / h2
-    lr = (b - (1 - b) / g2) / h2 + (d / 4) * k2_ref
-    ud = (b / g2 - (1 - b)) / h2 + (d / 4) * k2_ref
-    corner = ((1 - b) / 2) * (1 + 1 / g2) / h2 + (e / 4) * k2_ref
-
-    ty = 2 * jnp.pi * jnp.fft.fftfreq(nfy).astype(jnp.float32)
-    tx = 2 * jnp.pi * jnp.fft.fftfreq(nfx).astype(jnp.float32)
-    cy = jnp.cos(ty)[:, None]
-    cx = jnp.cos(tx)[None, :]
-    return (c0 + 2 * lr * cx + 2 * ud * cy + 4 * corner * cx * cy).astype(jnp.complex64)
+    s0, s1 = constant_stencil_symbol_parts(jnp.real(b), jnp.real(d),
+                                           jnp.real(e), h, g, nfy, nfx)
+    return (s0 + k2_ref * s1).astype(jnp.complex64)
