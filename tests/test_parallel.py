@@ -148,3 +148,51 @@ def test_shot_sharded_split_cg_matches_single_device():
     np.testing.assert_allclose(np.asarray(res_sharded.velocity),
                                np.asarray(res_single.velocity),
                                atol=1e-3 * float(jnp.abs(res_single.velocity).max()))
+
+
+def test_freq_shot_sharded_multifreq_matches_serial():
+    """Joint multi-frequency CG executed over a 2x4 (freq, shot) mesh via
+    shard_map (psum reductions) matches the single-device serial lax.map
+    run (SURVEY.md section 2 'Frequency parallelism')."""
+    from waveforminversionust_tpu.fwi.multifreq import (
+        nonlinear_cg_multifreq, nonlinear_cg_multifreq_sharded,
+        stack_frequencies)
+    from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                             snap_to_grid)
+    from waveforminversionust_tpu.parallel.sharding import (
+        shard_multifreq_data, shot_freq_mesh)
+
+    C0 = 1500.0
+    acq_cfg = AcquisitionConfig(num_elements=32, radius=18e-3,
+                                num_excluded_each_side=3)
+    solver = SolverConfig(pml=PMLConfig(l_pml=4e-3))
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    xe, ye = ring_positions(acq_cfg.num_elements, acq_cfg.radius)
+    xi, yi = snap_to_grid(coarse, xe, ye)
+    xs, ys = coarse.x[xi], coarse.y[yi]
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    true_vel_f = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+
+    acq = build_ring_acquisition(coarse, acq_cfg, x_elem=xs, y_elem=ys)
+    datas = []
+    for fq in (120e3, 200e3):
+        ds = synthesize_ring_dataset(true_vel_f, fine, acq_cfg, f=fq, seed=3,
+                                     solver=solver, x_elem=xs, y_elem=ys)
+        datas.append(build_fwi_data(acq, ds.rec_data, fq))
+    mf = stack_frequencies(datas)
+    vel0 = jnp.full(coarse.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2)
+
+    vel_serial, met_serial = nonlinear_cg_multifreq(vel0, mf, coarse, solver,
+                                                    fwi)
+
+    mesh = shot_freq_mesh(4, 2)
+    mf_sharded = shard_multifreq_data(mf, mesh)
+    vel_sharded, met_sharded = nonlinear_cg_multifreq_sharded(
+        vel0, mf_sharded, coarse, mesh, solver, fwi)
+
+    np.testing.assert_allclose(np.asarray(met_sharded.loss),
+                               np.asarray(met_serial.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(vel_sharded),
+                               np.asarray(vel_serial),
+                               atol=1e-3 * float(np.abs(vel_serial).max()))

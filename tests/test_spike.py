@@ -1,0 +1,119 @@
+"""Distributed SPIKE solve on the virtual 8-device CPU mesh: the
+grid-sharded factorization + solve must match the single-device block-Thomas
+direct solver (forward AND adjoint), unlocking grids beyond one chip
+(SURVEY.md section 2 'grid domain decomposition')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from waveforminversionust_tpu import Grid2D, PMLConfig, SolverConfig
+from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+from waveforminversionust_tpu.ops import cpx
+from waveforminversionust_tpu.ops.cpx import Cpx
+from waveforminversionust_tpu.ops.split_engine import (
+    banded_factor_cpx, banded_solve_cpx, h_apply_cpx,
+    helmholtz_coefficients_cpx)
+from waveforminversionust_tpu.parallel.spike import (
+    spike_factor, spike_helmholtz_factor, spike_helmholtz_solve, spike_solve)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+F = 200e3
+
+
+def _grid_mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("grid",))
+
+
+def _setup(h=0.8e-3):
+    # Non-square grid with ny = 64 (divisible by 8): exercises the slab
+    # math including rectangular-grid indexing.
+    grid = Grid2D.centered(12e-3, h, ymax=25.2e-3)
+    assert grid.ny == 64 and grid.nx == 31
+    ny, nx = grid.ny, grid.nx
+    vel = smooth_blob_phantom(grid, radius=6e-3, dc=40)
+    rng = np.random.default_rng(0)
+    src = Cpx(jnp.asarray(rng.standard_normal((3, ny, nx)), jnp.float32)
+              * 0.01,
+              jnp.asarray(rng.standard_normal((3, ny, nx)), jnp.float32)
+              * 0.01)
+    cfg = SolverConfig(split_complex=True, pml=PMLConfig(l_pml=4e-3))
+    coeffs = helmholtz_coefficients_cpx(vel, grid, F, cfg.pml, cfg.stencil)
+    return grid, vel, src, cfg, coeffs
+
+
+def test_spike_solve_matches_thomas_forward_and_adjoint():
+    grid, vel, src, cfg, coeffs = _setup()
+    mesh = _grid_mesh()
+
+    ref_factor = banded_factor_cpx(coeffs)
+    sp_factor = spike_factor(coeffs, mesh)
+
+    for adjoint in (False, True):
+        x_ref = banded_solve_cpx(ref_factor, src, adjoint=adjoint)
+        x_sp = spike_solve(sp_factor, src, mesh, adjoint=adjoint)
+        a = cpx.to_numpy(x_sp)
+        b = cpx.to_numpy(x_ref)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 1e-4, (adjoint, rel)
+        # true residual of the sharded solution
+        op = (lambda v: h_apply_cpx(coeffs, v))
+        if adjoint:
+            from waveforminversionust_tpu.ops.split_engine import \
+                h_apply_adjoint_cpx
+            op = (lambda v: h_apply_adjoint_cpx(coeffs, v))
+        r = cpx.to_numpy(op(x_sp) - src)
+        res = np.linalg.norm(r) / np.linalg.norm(cpx.to_numpy(src))
+        assert res < 1e-4, (adjoint, res)
+
+
+def test_spike_helmholtz_wrapper_matches_operator_path():
+    """The Helmholtz-level wrapper (with Dirichlet-row bookkeeping) matches
+    helmholtz_operator_solve on sharded inputs."""
+    from waveforminversionust_tpu.ops.solve import (helmholtz_operator_solve,
+                                                    make_helmholtz_operator)
+
+    grid, vel, src, cfg, coeffs = _setup()
+    mesh = _grid_mesh()
+
+    # shard the velocity and sources over the row axis
+    vsh = jax.device_put(vel, NamedSharding(mesh, P("grid")))
+    ssh = Cpx(jax.device_put(src.re, NamedSharding(mesh, P(None, "grid"))),
+              jax.device_put(src.im, NamedSharding(mesh, P(None, "grid"))))
+
+    factor = spike_helmholtz_factor(vsh, F, grid, mesh, cfg)
+    op = make_helmholtz_operator(vel, F, grid, cfg)
+
+    for adjoint in (False, True):
+        u_sp = spike_helmholtz_solve(factor, ssh, grid, mesh,
+                                     adjoint=adjoint)
+        u_ref = helmholtz_operator_solve(op, src, grid, cfg, adjoint=adjoint)
+        a, b = cpx.to_numpy(u_sp), cpx.to_numpy(u_ref)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 1e-4, (adjoint, rel)
+
+
+def test_spike_large_grid_runs_sharded():
+    """A 1024-row solve (beyond-one-chip class) runs on the 8-device mesh
+    and satisfies its own residual."""
+    h = 0.8e-3
+    # CPU-sized stand-in with the same slab structure (ny=256, nx=61).
+    grid = Grid2D.centered(24e-3, h, ymax=102e-3)
+    assert grid.ny % 8 == 0
+    ny, nx = grid.ny, grid.nx
+    vel = smooth_blob_phantom(grid, radius=10e-3, dc=40)
+    cfg = SolverConfig(split_complex=True, pml=PMLConfig(l_pml=4e-3))
+    coeffs = helmholtz_coefficients_cpx(vel, grid, F, cfg.pml, cfg.stencil)
+    rng = np.random.default_rng(1)
+    src = Cpx(jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32),
+              jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32))
+    mesh = _grid_mesh()
+    factor = spike_factor(coeffs, mesh)
+    x = spike_solve(factor, src, mesh)
+    r = cpx.to_numpy(h_apply_cpx(coeffs, x) - src)
+    res = np.linalg.norm(r) / np.linalg.norm(cpx.to_numpy(src))
+    assert res < 1e-4, res

@@ -25,14 +25,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import FWIConfig, SolverConfig
+from ..config import FWIConfig, SolverConfig, StepSizeFormula
 from ..models.grid import Grid2D
 from ..ops import cpx
 from ..ops.cpx import Cpx
 from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
 from .objective import (FWIData, estimate_source_strengths, misfit,
                         sample_receivers, scatter_to_fields, virtual_source)
-from .optimizers import CGMetrics, _momentum, _step_size
+from .optimizers import CGMetrics, _dot, _momentum, _re_inner
 
 
 class MultiFreqData(NamedTuple):
@@ -73,17 +73,28 @@ def stack_frequencies(datas: list[FWIData]) -> MultiFreqData:
     )
 
 
-@partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations"))
-def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
-                           solver: SolverConfig = SolverConfig(),
-                           fwi: FWIConfig = FWIConfig(),
-                           num_iterations: int | None = None):
-    """Joint multi-frequency nonlinear-CG inversion (one jitted scan).
+def _step_size_reduced(formula: StepSizeFormula, drec, rec_obs, rec_sim,
+                       grad, search_dir, eps: float, preduce):
+    """:func:`..optimizers._step_size` with the receiver-space inner
+    products reduced by ``preduce`` (a cross-device psum under shard_map;
+    identity on one device). The grid-space products (grad, sd) act on
+    already-reduced, replicated arrays."""
+    den = preduce(_re_inner(drec, drec)) + eps
+    if formula == StepSizeFormula.RESIDUAL:
+        return preduce(_re_inner(drec, rec_obs - rec_sim)) / den
+    if formula == StepSizeFormula.GRADIENT:
+        return _dot(grad, grad) / den
+    if formula == StepSizeFormula.GRADIENT_SD:
+        return -_dot(grad, search_dir) / den
+    raise ValueError(f"unknown step-size formula {formula}")
 
-    Returns (velocity, CGMetrics history). Cost per iteration is nf
-    single-frequency iterations (one factorization per frequency).
-    """
-    n_iter = fwi.num_iterations if num_iterations is None else num_iterations
+
+def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
+                  solver: SolverConfig, fwi: FWIConfig,
+                  n_iter: int, preduce=lambda x: x):
+    """Core multi-frequency CG loop. ``data`` may hold device-local shards
+    when run inside shard_map; every cross-(freq, shot) reduction goes
+    through ``preduce``."""
     vel0 = jnp.asarray(vel_init, jnp.float32)
     from .regularization import make_cg_regularizer
     regularize = make_cg_regularizer(grid, fwi)
@@ -140,8 +151,8 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
 
         losses, grads, virts, residuals, rec_sims = jax.lax.map(
             fwd_f, (data.freqs, data.rec_obs))
-        loss = jnp.sum(losses)
-        grad = jnp.sum(grads, axis=0)
+        loss = preduce(jnp.sum(losses))
+        grad = preduce(jnp.sum(grads, axis=0))
         if regularize is not None:
             grad = grad + regularize(slow, grad)
 
@@ -155,9 +166,11 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
         drecs = jax.lax.map(ls_f, (data.freqs, virts))
 
         # Frequency-summed line search (generalizes the single-frequency
-        # formulas; the inner products reduce over the leading nf axis too).
-        step_sz = _step_size(fwi.step_size, drecs, data.rec_obs, rec_sims,
-                             grad, sd_new, fwi.eps_stabilizer)
+        # formulas; the inner products reduce over the leading nf axis too,
+        # and across devices under shard_map).
+        step_sz = _step_size_reduced(fwi.step_size, drecs, data.rec_obs,
+                                     rec_sims, grad, sd_new,
+                                     fwi.eps_stabilizer, preduce)
 
         slow_new = slow + step_sz * sd_new
         vel_new = 1.0 / slow_new
@@ -181,4 +194,74 @@ def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
             jnp.zeros(grid.shape, jnp.float32))
     (vel, _, _, _), metrics = jax.lax.scan(step, init, jnp.arange(n_iter))
     return vel, metrics
+
+
+@partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations"))
+def nonlinear_cg_multifreq(vel_init, data: MultiFreqData, grid: Grid2D,
+                           solver: SolverConfig = SolverConfig(),
+                           fwi: FWIConfig = FWIConfig(),
+                           num_iterations: int | None = None):
+    """Joint multi-frequency nonlinear-CG inversion (one jitted scan).
+
+    Returns (velocity, CGMetrics history). Cost per iteration is nf
+    single-frequency iterations (one factorization per frequency). For
+    multi-device execution over a (shot, freq) mesh use
+    :func:`nonlinear_cg_multifreq_sharded`.
+    """
+    n_iter = fwi.num_iterations if num_iterations is None else num_iterations
+    return _multifreq_cg(vel_init, data, grid, solver, fwi, n_iter)
+
+
+def nonlinear_cg_multifreq_sharded(vel_init, data: MultiFreqData, grid: Grid2D,
+                                   mesh, solver: SolverConfig = SolverConfig(),
+                                   fwi: FWIConfig = FWIConfig(),
+                                   num_iterations: int | None = None,
+                                   shot_axis: str = "shot",
+                                   freq_axis: str = "freq"):
+    """Multi-frequency CG executed across a (shot, freq) device mesh.
+
+    Each device runs the factorizations/solves of its local (frequency x
+    transmitter) block only — the sequential ``lax.map`` over frequencies
+    shortens to nf / mesh.shape[freq_axis] entries per device — and the
+    loss/gradient/line-search reductions ride the mesh as ``psum``
+    collectives (shard_map; SURVEY.md section 2 'Frequency parallelism').
+    The CG state (velocity, slowness, search direction) is replicated.
+
+    ``data`` must be shardable: nf divisible by the freq axis size and ntx
+    by the shot axis size (see :func:`~..parallel.sharding.
+    shard_multifreq_data`). Verified sharded == serial in
+    tests/test_parallel.py.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_iter = fwi.num_iterations if num_iterations is None else num_iterations
+    axes = (freq_axis, shot_axis)
+
+    def preduce(x):
+        return jax.lax.psum(x, axes)
+
+    rec_spec = (P(freq_axis, shot_axis) if not isinstance(data.rec_obs, Cpx)
+                else Cpx(P(freq_axis, shot_axis), P(freq_axis, shot_axis)))
+    shot_spec = lambda x: (P(shot_axis) if not isinstance(x, Cpx)
+                           else Cpx(P(shot_axis), P(shot_axis)))
+    data_specs = MultiFreqData(
+        src=shot_spec(data.src),
+        rec_obs=rec_spec,
+        rx_y=P(shot_axis),
+        rx_x=P(shot_axis),
+        freqs=P(freq_axis),
+        rx_w=None if data.rx_w is None else P(shot_axis),
+        attenuation=None if data.attenuation is None else P(),
+    )
+
+    def run(vel0, local_data):
+        vel, metrics = _multifreq_cg(vel0, local_data, grid, solver, fwi,
+                                     n_iter, preduce=preduce)
+        return vel, metrics
+
+    fn = shard_map(run, mesh=mesh, in_specs=(P(), data_specs),
+                   out_specs=(P(), CGMetrics(P(), P(), P(), P())),
+                   check_vma=False)
+    return jax.jit(fn)(jnp.asarray(vel_init, jnp.float32), data)
 

@@ -75,6 +75,36 @@ def shard_fwi_data(data: FWIData, mesh: Mesh,
     )
 
 
+def shard_multifreq_data(data, mesh: Mesh, shot_axis: str = "shot",
+                         freq_axis: str = "freq"):
+    """Place MultiFreqData on a (shot, freq) mesh: rec_obs sharded over
+    (freq, shot), the acquisition arrays over shot, freqs over freq, and
+    the attenuation map replicated. nf and ntx must be divisible by the
+    respective mesh axis sizes."""
+    rec = NamedSharding(mesh, P(freq_axis, shot_axis))
+    shot = NamedSharding(mesh, P(shot_axis))
+    freq = NamedSharding(mesh, P(freq_axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        if x is None:
+            return None
+        if isinstance(x, Cpx):
+            return Cpx(jax.device_put(x.re, sharding),
+                       jax.device_put(x.im, sharding))
+        return jax.device_put(x, sharding)
+
+    return data._replace(
+        src=put(data.src, shot),
+        rec_obs=put(data.rec_obs, rec),
+        rx_y=put(data.rx_y, shot),
+        rx_x=put(data.rx_x, shot),
+        rx_w=put(data.rx_w, shot),
+        freqs=put(data.freqs, freq),
+        attenuation=put(data.attenuation, rep),
+    )
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree across the mesh."""
     rep = NamedSharding(mesh, P())
