@@ -311,3 +311,112 @@ class TestJointMultiFrequency:
         err0 = _recon_error(np.full(coarse.shape, C0), true_coarse, coarse)
         err_joint = _recon_error(vel, true_coarse, coarse)
         assert err_joint < 0.6 * err0, (err_joint, err0)
+
+
+class TestCheckpointResume:
+    def test_mid_stage_kill_and_resume_reproduces_trajectory(self, tmp_path,
+                                                             monkeypatch):
+        """A run killed mid-stage resumes from checkpoint_dir/latest and
+        reproduces the uninterrupted loss trajectory and velocity
+        (SURVEY.md section 5 'checkpointed outer iterations')."""
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        from waveforminversionust_tpu.fwi.runner import invert_dataset
+        from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                                 snap_to_grid)
+        from waveforminversionust_tpu.utils import checkpoint as ckpt_mod
+
+        coarse = Grid2D.centered(24e-3, 0.8e-3)
+        xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+        xi, yi = snap_to_grid(coarse, xe, ye)
+        xs, ys = coarse.x[xi], coarse.y[yi]
+        fine = Grid2D.centered(24e-3, 0.4e-3)
+        true_vel_f = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+        ds = synthesize_ring_dataset(true_vel_f, fine, ACQ, f=F, seed=3,
+                                     solver=SOLVER, x_elem=xs, y_elem=ys)
+        fwi = FWIConfig(num_iterations=4)
+        common = dict(grid=coarse, acquisition=ACQ, solver=SOLVER, fwi=fwi)
+
+        res_full = invert_dataset(ds, **common)
+
+        # Kill the run right after the first mid-stage checkpoint (2 of 4
+        # iterations done).
+        ckdir = str(tmp_path / "ck")
+        orig_save = ckpt_mod.save_state
+        calls = {"n": 0}
+
+        def dying_save(path, state):
+            orig_save(path, state)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt("simulated mid-run death")
+
+        monkeypatch.setattr(ckpt_mod, "save_state", dying_save)
+        with pytest.raises(KeyboardInterrupt):
+            invert_dataset(ds, checkpoint_dir=ckdir, checkpoint_every=2,
+                           **common)
+        monkeypatch.setattr(ckpt_mod, "save_state", orig_save)
+        assert calls["n"] == 1
+
+        res_resumed = invert_dataset(ds, resume_from=str(tmp_path / "ck" /
+                                                         "latest"),
+                                     **common)
+
+        np.testing.assert_allclose(res_resumed.metrics["loss"],
+                                   res_full.metrics["loss"], rtol=1e-4)
+        np.testing.assert_allclose(res_resumed.velocity, res_full.velocity,
+                                   atol=1e-4 * float(np.abs(
+                                       res_full.velocity).max()))
+
+    def test_stage_boundary_resume(self, tmp_path):
+        """A checkpoint landing exactly on a stage boundary resumes into the
+        next stage with a fresh CG carry, matching the uninterrupted
+        continuation run."""
+        from waveforminversionust_tpu import ContinuationConfig
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        from waveforminversionust_tpu.fwi.runner import invert_dataset
+        from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                                 snap_to_grid)
+        from waveforminversionust_tpu.utils.checkpoint import load_state
+
+        coarse = Grid2D.centered(24e-3, 0.8e-3)
+        xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+        xi, yi = snap_to_grid(coarse, xe, ye)
+        xs, ys = coarse.x[xi], coarse.y[yi]
+        fine = Grid2D.centered(24e-3, 0.4e-3)
+        true_vel_f = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+        freqs = (120e3, 200e3)
+        rec = {fq: synthesize_ring_dataset(true_vel_f, fine, ACQ, f=fq,
+                                           seed=3, solver=SOLVER,
+                                           x_elem=xs, y_elem=ys)
+               for fq in freqs}
+        cont = ContinuationConfig(frequencies=freqs,
+                                  iterations_per_frequency=2)
+        common = dict(grid=coarse, acquisition=ACQ, solver=SOLVER,
+                      fwi=FWIConfig(num_iterations=2), continuation=cont)
+
+        res_full = invert_dataset(rec, **common)
+
+        ckdir = str(tmp_path / "ck2")
+        invert_dataset(rec, checkpoint_dir=ckdir, checkpoint_every=2,
+                       **common)
+        # Rewind the saved state to the end of stage 0 and resume.
+        st = load_state(str(tmp_path / "ck2" / "latest"))
+        assert int(st["stage"]) == 1 and int(st["iteration"]) == 2
+        # Re-save a stage-boundary checkpoint for stage 0 by re-running the
+        # first stage only.
+        first = invert_dataset(rec, checkpoint_dir=str(tmp_path / "ck0"),
+                               checkpoint_every=2, grid=coarse,
+                               acquisition=ACQ, solver=SOLVER,
+                               fwi=FWIConfig(num_iterations=2),
+                               continuation=ContinuationConfig(
+                                   frequencies=freqs[:1],
+                                   iterations_per_frequency=2))
+        res_resumed = invert_dataset(rec, resume_from=str(tmp_path / "ck0" /
+                                                          "latest"),
+                                     **common)
+        np.testing.assert_allclose(
+            res_resumed.metrics["loss"][-2:], res_full.metrics["loss"][-2:],
+            rtol=1e-4)
+        np.testing.assert_allclose(res_resumed.velocity, res_full.velocity,
+                                   atol=1e-4 * float(np.abs(
+                                       res_full.velocity).max()))

@@ -227,7 +227,9 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
                  solver: SolverConfig = SolverConfig(),
                  fwi: FWIConfig = FWIConfig(),
-                 num_iterations: int | None = None) -> CGResult:
+                 num_iterations: int | None = None,
+                 init_search_dir=None, init_grad_prev=None,
+                 iteration_offset=0) -> CGResult:
     """Run the full nonlinear-CG inversion as one compiled scan.
 
     Mirrors the reference entry point ``nonlinear_conjugate_gradient``
@@ -237,6 +239,13 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
         vel_init: (ny, nx) starting model [m/s] (reference uses a constant
             1480; pass ``fwi.c_init * jnp.ones(grid.shape)``).
         num_iterations: overrides ``fwi.num_iterations`` when given.
+        init_search_dir / init_grad_prev: resume a previous run mid-stage —
+            the CG carry saved at the interruption point. Defaults (zeros)
+            start a fresh inversion.
+        iteration_offset: global index of the first iteration executed, so
+            a resumed run keeps the momentum semantics (beta = 0 only at the
+            true first iteration). Pass a jnp scalar to reuse the compiled
+            scan across resume chunks.
     """
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
@@ -244,16 +253,20 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
     split = isinstance(data.src, Cpx)
     zfield = (cpx.zeros((ntx,) + grid.shape) if split
               else jnp.zeros((ntx,) + grid.shape, jnp.complex64))
+    zgrid = jnp.zeros(grid.shape, jnp.float32)
     state = CGState(
         velocity=vel0,
         slowness=1.0 / vel0,
-        search_dir=jnp.zeros(grid.shape, jnp.float32),
-        grad_prev=jnp.zeros(grid.shape, jnp.float32),
+        search_dir=(zgrid if init_search_dir is None
+                    else jnp.asarray(init_search_dir, jnp.float32)),
+        grad_prev=(zgrid if init_grad_prev is None
+                   else jnp.asarray(init_grad_prev, jnp.float32)),
         wavefield=zfield,
         adjoint_field=zfield,
     )
     step = make_cg_step(data, grid, solver, fwi)
-    final, metrics = jax.lax.scan(step, state, jnp.arange(n_iter))
+    its = jnp.arange(n_iter) + jnp.asarray(iteration_offset, jnp.int32)
+    final, metrics = jax.lax.scan(step, state, its)
     def _parts(fld):
         if isinstance(fld, Cpx):
             return ComplexParts(fld.re, fld.im)

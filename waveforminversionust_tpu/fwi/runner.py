@@ -44,7 +44,10 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                    continuation: ContinuationConfig | None = None,
                    method: str = "cg",
                    callback: Callable | None = None,
-                   attenuation=None) -> InversionResult:
+                   attenuation=None,
+                   checkpoint_dir: str | None = None,
+                   checkpoint_every: int | None = None,
+                   resume_from: str | None = None) -> InversionResult:
     """Invert a RingDataset (loaded or synthesized).
 
     Args:
@@ -64,6 +67,20 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             (uniform medium) or an (ny, nx) map on the RECONSTRUCTION grid;
             velocity is inverted in this fixed lossy medium (FD methods
             only).
+        checkpoint_dir / checkpoint_every: when both are set (CG method),
+            each stage runs in chunks of ``checkpoint_every`` iterations and
+            the FULL resumable CG state (velocity, search direction,
+            previous gradient, stage/iteration counters, metrics so far) is
+            written to ``checkpoint_dir/latest`` after every chunk — a
+            10-hour run that dies mid-stage loses at most
+            ``checkpoint_every`` iterations. The per-stage ``callback``
+            still fires at stage boundaries.
+        resume_from: path of a ``latest`` checkpoint saved as above; the
+            inversion continues from the exact saved point (completed
+            stages are skipped, the interrupted stage restarts at the saved
+            iteration with the saved CG carry) and reproduces the
+            uninterrupted trajectory. Returned metrics include the restored
+            history of the interrupted stage onward.
     """
     # ``dataset`` may be a single RingDataset or a {frequency: RingDataset}
     # mapping for broadband acquisitions (per-stage observed data). The
@@ -91,17 +108,83 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     vel = jnp.full(grid.shape, fwi.c_init, jnp.float32)
     histories: list[CGMetrics] = []
     losses_lbfgs: list[np.ndarray] = []
+
+    start_stage, start_iter = 0, 0
+    init_sd = init_gp = None
+    resumed_parts: list[CGMetrics] = []
+    if resume_from is not None:
+        from ..utils.checkpoint import load_state
+        st = load_state(resume_from)
+        vel = jnp.asarray(st["velocity"], jnp.float32)
+        start_stage = int(st["stage"])
+        start_iter = int(st["iteration"])
+        init_sd = st.get("search_dir")
+        init_gp = st.get("grad_prev")
+        m = st.get("metrics")
+        if m is not None and start_iter > 0:
+            resumed_parts = [CGMetrics(loss=np.asarray(m["loss"]),
+                                       grad_norm=np.asarray(m["grad_norm"]),
+                                       beta=np.asarray(m["beta"]),
+                                       step_size=np.asarray(m["step_size"]))]
+
+    checkpointing = (checkpoint_dir is not None and checkpoint_every
+                     and method == "cg")
+    if checkpointing:
+        import os
+
+        from ..utils.checkpoint import save_state
+        latest_path = os.path.join(checkpoint_dir, "latest")
+
+    def _cat_metrics(parts: list[CGMetrics]) -> CGMetrics:
+        return CGMetrics(*(np.concatenate([np.asarray(getattr(p, f))
+                                           for p in parts])
+                           for f in CGMetrics._fields))
+
     for stage_idx, (freq, n_iter) in enumerate(stages):
+        if stage_idx < start_stage:
+            continue
+        resuming_here = stage_idx == start_stage and resume_from is not None
+        stage_it = start_iter if resuming_here else 0
+        sd0 = init_sd if resuming_here else None
+        gp0 = init_gp if resuming_here else None
+        parts = list(resumed_parts) if resuming_here else []
+        if resuming_here and stage_it >= n_iter:
+            # The checkpoint landed exactly on this stage's boundary: the
+            # stage is complete; carry its restored history forward.
+            if parts:
+                histories.append(_cat_metrics(parts))
+            continue
         stage_ds = dataset[freq] if per_freq else dataset
         data = build_fwi_data(acq, stage_ds.rec_data, freq,
                               split=solver.split_complex,
                               attenuation=attenuation)
         if method == "cg":
-            res = nonlinear_cg(vel, data, grid, solver, fwi,
-                               num_iterations=n_iter)
-            vel = res.velocity
-            histories.append(res.metrics)
-            stage_metrics = res.metrics
+            sd, gp = sd0, gp0
+            while stage_it < n_iter:
+                chunk = (min(int(checkpoint_every), n_iter - stage_it)
+                         if checkpointing else n_iter - stage_it)
+                res = nonlinear_cg(vel, data, grid, solver, fwi,
+                                   num_iterations=chunk,
+                                   init_search_dir=sd, init_grad_prev=gp,
+                                   iteration_offset=jnp.int32(stage_it))
+                vel = res.velocity
+                sd, gp = res.search_dir, res.gradient
+                parts.append(res.metrics)
+                stage_it += chunk
+                if checkpointing:
+                    m_sofar = _cat_metrics(parts)
+                    save_state(latest_path, {
+                        "velocity": np.asarray(vel),
+                        "search_dir": np.asarray(sd),
+                        "grad_prev": np.asarray(gp),
+                        "stage": np.int32(stage_idx),
+                        "iteration": np.int32(stage_it),
+                        "frequency": np.float64(freq),
+                        "metrics": {f: np.asarray(getattr(m_sofar, f))
+                                    for f in CGMetrics._fields},
+                    })
+            stage_metrics = _cat_metrics(parts)
+            histories.append(stage_metrics)
         elif method == "lbfgs":
             res = run_lbfgs(vel, data, grid, solver, num_iterations=n_iter,
                             fwi=fwi)
