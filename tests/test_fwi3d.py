@@ -1,0 +1,115 @@
+"""3D FWI slice: adjoint-state gradient FD-checks in 3D and a tiny
+volumetric inversion reduces the misfit (SURVEY.md section 5 'scaling
+axes'; the reference is strictly 2D)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveforminversionust_tpu import FWIConfig, PMLConfig
+from waveforminversionust_tpu.fwi.fwi3d import (FWIData3D, build_fwi_data_3d,
+                                                nonlinear_cg_3d,
+                                                objective_pieces_3d,
+                                                sample_receivers_3d)
+from waveforminversionust_tpu.models.acquisition3d import (
+    build_acquisition3d, cylinder_positions, hemisphere_positions,
+    source_fields_3d)
+from waveforminversionust_tpu.models.grid3d import Grid3D
+from waveforminversionust_tpu.ops import cpx
+from waveforminversionust_tpu.ops.born3d import born_series_solve_3d
+
+F = 200e3
+C0 = 1500.0
+PML = PMLConfig(a0=20.0, l_pml=6e-3)
+ITER_CAP = 500
+
+
+def _blob(grid: Grid3D, dc=40.0, radius=4e-3):
+    z = grid.z0 + grid.dz * jnp.arange(grid.nz)
+    y = grid.y0 + grid.dy * jnp.arange(grid.ny)
+    x = grid.x0 + grid.dx * jnp.arange(grid.nx)
+    r2 = (z[:, None, None] ** 2 + y[None, :, None] ** 2
+          + x[None, None, :] ** 2)
+    return (C0 + dc * jnp.exp(-r2 / radius ** 2)).astype(jnp.float32)
+
+
+def _problem(n_elem=8):
+    grid = Grid3D.centered(12e-3, 1.0e-3)
+    pos = cylinder_positions(1, n_elem, 8e-3, 0.0)
+    acq = build_acquisition3d(grid, pos, min_angle=0.8)
+    vel_true = _blob(grid)
+    src = source_fields_3d(acq, grid)
+    wv, _ = born_series_solve_3d(vel_true, src, F, grid, PML,
+                                 iter_cap=ITER_CAP)
+    rec_obs = sample_receivers_3d(wv, jnp.asarray(acq.rx_idx))
+    data = build_fwi_data_3d(acq, rec_obs, F, grid)
+    return grid, acq, vel_true, data
+
+
+def test_hemisphere_positions_on_sphere():
+    pos = hemisphere_positions(64, 10e-3)
+    r = np.linalg.norm(pos, axis=1)
+    np.testing.assert_allclose(r, 10e-3, rtol=1e-6)
+    assert (pos[:, 2] <= 0).all()
+
+
+def test_acquisition3d_masks_small_angles():
+    grid = Grid3D.centered(12e-3, 1.0e-3)
+    pos = cylinder_positions(2, 8, 8e-3, 6e-3)
+    acq = build_acquisition3d(grid, pos, min_angle=0.8)
+    assert acq.rx_idx.shape[0] == 16
+    # no transmitter receives on itself or a near-angle neighbor
+    unit = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    for t in range(16):
+        rx_vox = np.asarray(acq.rx_idx[t])
+        own = np.asarray(acq.src_idx[t])
+        assert not (rx_vox == own).all(axis=1).any()
+
+
+def test_gradient_matches_finite_differences():
+    """The 3D adjoint-state gradient (hand identity, two CBS solves)
+    matches central finite differences of the misfit."""
+    grid, acq, vel_true, data = _problem()
+    vel = jnp.full(grid.shape, C0, jnp.float32)
+    slow = 1.0 / vel
+
+    import jax
+
+    def loss_of_slow(s):
+        v = 1.0 / s
+        wv, _ = born_series_solve_3d(v, data.src, data.f, grid, PML,
+                                     iter_cap=ITER_CAP)
+        rec = sample_receivers_3d(wv, data.rx_idx)
+        d = rec - data.rec_obs
+        return 0.5 * jnp.sum(d.re ** 2 + d.im ** 2)
+
+    loss, grad, _, _ = objective_pieces_3d(vel, slow, data, grid, PML,
+                                           ITER_CAP, estimate_source=False)
+    loss_fn = jax.jit(loss_of_slow)
+    assert float(loss) == pytest.approx(float(loss_fn(slow)), rel=1e-5)
+
+    nz, ny, nx = grid.shape
+    probes = [(nz // 2, ny // 2, nx // 2), (nz // 2, ny // 2 + 2, nx // 2),
+              (nz // 2 - 2, ny // 2, nx // 2 + 3)]
+    eps = 1e-3 / C0  # ~0.1% of the slowness scale
+    for p in probes:
+        sp = slow.at[p].add(eps)
+        sm = slow.at[p].add(-eps)
+        fd = (float(loss_fn(sp)) - float(loss_fn(sm))) / (2 * eps)
+        an = float(grad[p])
+        assert an == pytest.approx(fd, rel=7e-2, abs=1e-12 + 0.02 * abs(fd)), p
+
+
+def test_tiny_3d_inversion_reduces_misfit():
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=3, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    vel, metrics = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                   iter_cap=ITER_CAP)
+    losses = np.asarray(metrics.loss)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < 0.7 * losses[0], losses
+    # the update moves toward the true blob (positive dc at the center)
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(vel[c]) > C0
