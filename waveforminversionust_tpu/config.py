@@ -126,8 +126,10 @@ class SolverConfig:
     # Precompute dense real-embedded sweep operators at factor time so each
     # solve-sweep scan step is ONE MXU matmul instead of ~a dozen
     # latency-bound ops (split engine; see split_engine.prepare_sweep_ops).
-    # Costs 4x the factor memory (~1.7 GB at 301^2). None = auto: enabled
-    # when the embedded operators fit comfortably (ny*nx^2 <= 512^3-class).
+    # Costs 4x the factor memory (~1.7 GB at 301^2) and the embedding work
+    # exceeds the sweep saving on the benchmark workload (measured: 0.160 vs
+    # 0.148 s/iter), so None/False = off; set True only for workloads doing
+    # MANY solves per factorization (forward-modeling sweeps).
     fast_sweeps: bool | None = None
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0

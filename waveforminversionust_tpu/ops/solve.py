@@ -454,14 +454,14 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
     if cfg.factorization == "cr":
         return cr_factor_cpx(coeffs)
     if cfg.factorization == "thomas":
-        ny, nx = coeffs.re.shape[1], coeffs.re.shape[2]
-        fast = cfg.fast_sweeps
-        if fast is None:
-            # auto: the four embedded (ny, 2nx, 2nx) f32 operators must fit
-            # comfortably — cap their total at ~2.2 GB (301^2 uses 1.75 GB).
-            fast = 4 * ny * (2 * nx) ** 2 * 4 <= 2.2e9
+        # fast_sweeps measured NET-SLOWER on the real TPU at the benchmark
+        # workload (factor 135 vs 114 ms, iteration 0.160 vs 0.148 s): the
+        # extra embedding work exceeds the ~1.4 ms/solve sweep saving. Auto
+        # therefore means OFF; it stays available as an explicit opt-in for
+        # many-solves-per-factor workloads (forward-modeling sweeps).
+        fast = bool(cfg.fast_sweeps)
         return banded_factor_cpx(coeffs, cfg.factor_schulz_steps,
-                                 precompute_sweeps=bool(fast))
+                                 precompute_sweeps=fast)
     raise ValueError(f"unknown factorization {cfg.factorization!r}")
 
 
