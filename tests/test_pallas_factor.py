@@ -1,0 +1,56 @@
+"""Fused Pallas factorization kernel vs the XLA block-Thomas scan.
+
+Runs the kernel in interpret mode (CPU CI); the real-hardware run is
+exercised by bench.py / the TPU drive (PERF_NOTES.md round 2: 49 ms vs
+109 ms at 301^2, solve residual 2.7e-6).
+"""
+
+import numpy as np
+
+from waveforminversionust_tpu import Grid2D, PMLConfig
+from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+from waveforminversionust_tpu.ops import cpx
+from waveforminversionust_tpu.ops.pallas_factor import (banded_factor_pallas,
+                                                        factor_g_pallas)
+from waveforminversionust_tpu.ops.split_engine import (banded_factor_cpx,
+                                                       banded_solve_cpx,
+                                                       h_apply_adjoint_cpx,
+                                                       h_apply_cpx,
+                                                       helmholtz_coefficients_cpx)
+
+F = 350e3
+PML = PMLConfig(l_pml=2.4e-3)
+
+
+def _coeffs(extent=24e-3):
+    grid = Grid2D.centered(extent, 0.8e-3)
+    vel = smooth_blob_phantom(grid, radius=extent / 3, dc=60)
+    return helmholtz_coefficients_cpx(vel, grid, F, PML), grid
+
+
+def test_factor_matches_xla_scan():
+    """G parity on a grid whose nx (61) is NOT a panel multiple — exercises
+    the identity-padded elimination tail."""
+    coeffs, _ = _coeffs()
+    g_ref = cpx.to_numpy(banded_factor_cpx(coeffs, 0).g)
+    g_pal = cpx.to_numpy(factor_g_pallas(coeffs, interpret=True))
+    rel = np.linalg.norm(g_pal - g_ref) / np.linalg.norm(g_ref)
+    assert rel < 5e-6, rel
+
+
+def test_solves_through_pallas_factor():
+    """Forward and adjoint sweeps through the kernel's factor hit direct-
+    solver residuals on the true system."""
+    coeffs, grid = _coeffs()
+    ny, nx = grid.shape
+    rng = np.random.default_rng(0)
+    b = cpx.of((rng.standard_normal((3, ny, nx))
+                + 1j * rng.standard_normal((3, ny, nx))).astype(np.complex64))
+    fac = banded_factor_pallas(coeffs, interpret=True)
+    for adjoint, apply_fn in ((False, h_apply_cpx),
+                              (True, h_apply_adjoint_cpx)):
+        x = banded_solve_cpx(fac, b, adjoint=adjoint)
+        r = apply_fn(coeffs, x) - b
+        rel = float(np.sqrt(np.sum(np.abs(cpx.to_numpy(r)) ** 2)
+                            / np.sum(np.abs(cpx.to_numpy(b)) ** 2)))
+        assert rel < 2e-5, (adjoint, rel)

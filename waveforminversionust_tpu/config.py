@@ -109,10 +109,14 @@ class SolverConfig:
     method: SolverMethod = SolverMethod.BANDED
     split_complex: bool = False  # carry complex data as (re, im) f32 pairs;
     # required on TPU runtimes without full complex64 support (see ops.cpx)
-    # Direct-method factorization (split engine): "thomas" = sequential
-    # block-Thomas (ny latency-bound inverses); "cr" = block cyclic
-    # reduction (log2(ny) levels of batched MXU inverses; see ops.cyclic).
-    factorization: str = "thomas"
+    # Direct-method factorization (split engine): "auto" = the fused Pallas
+    # block-Thomas kernel on TPU (whole recurrence + blocked Gauss-Jordan
+    # inverses in one kernel, ~2.2x the XLA scan; see ops.pallas_factor),
+    # XLA scan elsewhere; "thomas" = the XLA lax.scan block-Thomas;
+    # "pallas" = force the fused kernel; "cr" = block cyclic reduction
+    # (ops.cyclic — measured slower end-to-end on the targeted runtime,
+    # kept for batched-elimination reference).
+    factorization: str = "auto"
     tol: float = 1e-5
     maxiter: int = 1000
     shift_beta: float = 0.5

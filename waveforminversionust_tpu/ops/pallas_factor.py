@@ -1,0 +1,322 @@
+"""Fused Pallas TPU kernel: the whole block-Thomas factorization.
+
+The split-engine factorization (:func:`.split_engine.banded_factor_cpx`) is
+an XLA ``lax.scan`` whose per-row body is tiny tridiagonal algebra plus one
+(nx, nx) complex inverse. On the targeted runtime every XLA loop iteration
+costs ~43-86 us regardless of body size and ``jnp.linalg.inv`` is
+latency-bound (~0.3 ms/matrix), so the 301-row factorization floors at
+~114 ms (PERF_NOTES.md). This kernel runs the ENTIRE recurrence
+
+    G_0 = inv(tri(D_0));   S_i = tri(D_i) - L_i (G_{i-1} U_{i-1});
+    G_i = inv(S_i)
+
+inside one ``pallas_call`` with a sequential grid over rows: the previous
+inverse persists in VMEM scratch, the tridiagonal products are VPU
+elementwise work, and the inverse is an unpivoted BLOCKED Gauss-Jordan
+whose rank-``bk`` panel updates are MXU matmuls (same elimination as
+:mod:`.batched_inv`, unbatched). Per-row cost is the actual compute
+(~0.1 ms) instead of the XLA dispatch floor.
+
+Numerics: unpivoted, like the rest of the solver stack (see
+ops/banded.py); the cancellation-safe pivot-row/column overwrite from
+batched_inv is reused verbatim. Validated against banded_factor_cpx in
+tests/test_pallas_factor.py (interpret mode on CPU, real mode on TPU).
+
+Replaces the role of the reference's host SuperLU factorization
+(solve_helmholtz.py:85-93 / solveHelmholtz.m:128-137) at TPU speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import cpx
+from .cpx import Cpx
+
+_BK = 32          # GJ panel width (MXU rank per update)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_HI, preferred_element_type=jnp.float32)
+
+
+def _cdot(ar, ai, br, bi):
+    """Complex matmul from real parts (4 MXU dots)."""
+    return (_dot(ar, br) - _dot(ai, bi), _dot(ar, bi) + _dot(ai, br))
+
+
+def _shift_cols_left(m):
+    """out[:, j] = m[:, j+1], zero-filled tail."""
+    z = jnp.zeros((m.shape[0], 1), m.dtype)
+    return jnp.concatenate([m[:, 1:], z], axis=1)
+
+
+def _shift_cols_right(m):
+    z = jnp.zeros((m.shape[0], 1), m.dtype)
+    return jnp.concatenate([z, m[:, :-1]], axis=1)
+
+
+def _shift_rows_down(m):
+    z = jnp.zeros((1, m.shape[1]), m.dtype)
+    return jnp.concatenate([z, m[:-1, :]], axis=0)
+
+
+def _shift_rows_up(m):
+    z = jnp.zeros((1, m.shape[1]), m.dtype)
+    return jnp.concatenate([m[1:, :], z], axis=0)
+
+
+def _vshift_left(v):
+    """out[j] = v[j+1] for a (1, n) row vector."""
+    z = jnp.zeros((1, 1), v.dtype)
+    return jnp.concatenate([v[:, 1:], z], axis=1)
+
+
+def _vshift_right(v):
+    z = jnp.zeros((1, 1), v.dtype)
+    return jnp.concatenate([z, v[:, :-1]], axis=1)
+
+
+def _pivot_gj(p_re, p_im, bk: int):
+    """Scalar Gauss-Jordan inverse of the (bk, bk) pivot block (values in,
+    values out). Same cancellation-safe update as pallas_inv._gj_kernel.
+
+    Row/column/pivot extraction uses masked reductions instead of dynamic
+    slices — Mosaic cannot load at a dynamic lane offset, and for a bk x bk
+    block a masked sum is a trivial VPU op anyway."""
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+
+    def step(j, p):
+        p_re, p_im = p
+        is_r = iota_r == j
+        is_c = iota_c == j
+        zero = jnp.float32(0.0)
+        row_re = jnp.sum(jnp.where(is_r, p_re, zero), 0, keepdims=True)
+        row_im = jnp.sum(jnp.where(is_r, p_im, zero), 0, keepdims=True)
+        col_re = jnp.sum(jnp.where(is_c, p_re, zero), 1, keepdims=True)
+        col_im = jnp.sum(jnp.where(is_c, p_im, zero), 1, keepdims=True)
+        piv_re = jnp.sum(jnp.where(is_r & is_c, p_re, zero), keepdims=False)
+        piv_im = jnp.sum(jnp.where(is_r & is_c, p_im, zero), keepdims=False)
+
+        den = jnp.maximum(piv_re * piv_re + piv_im * piv_im, 1e-38)
+        pr, pi = piv_re / den, -piv_im / den
+
+        s_re, s_im = _cmul(col_re, col_im, pr, pi)      # C p^-1 (bk, 1)
+        sr_re, sr_im = _cmul(row_re, row_im, pr, pi)    # R p^-1 (1, bk)
+
+        ur, ui = _cmul(s_re, s_im, row_re, row_im)      # rank-1 outer
+        new_re = p_re - ur
+        new_im = p_im - ui
+        new_re = jnp.where(is_c, -jnp.broadcast_to(s_re, (bk, bk)), new_re)
+        new_im = jnp.where(is_c, -jnp.broadcast_to(s_im, (bk, bk)), new_im)
+        new_re = jnp.where(is_r, jnp.broadcast_to(sr_re, (bk, bk)), new_re)
+        new_im = jnp.where(is_r, jnp.broadcast_to(sr_im, (bk, bk)), new_im)
+        new_re = jnp.where(is_r & is_c, pr, new_re)
+        new_im = jnp.where(is_r & is_c, pi, new_im)
+        return (new_re, new_im)
+
+    return jax.lax.fori_loop(0, bk, step, (p_re, p_im))
+
+
+def _factor_kernel(nxp: int, bk: int,
+                   cur_re_ref, cur_im_ref, prev_re_ref, prev_im_ref,
+                   g_re_ref, g_im_ref,
+                   gp_re_ref, gp_im_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # G_prev enters the i=0 recurrence multiplied by a zero mask via
+        # lgu; zero it so uninitialized VMEM (possibly NaN) cannot leak.
+        gp_re_ref[:] = jnp.zeros((nxp, nxp), jnp.float32)
+        gp_im_ref[:] = jnp.zeros((nxp, nxp), jnp.float32)
+
+    # Plane vectors of this row (shape (1, nxp)): D = (0, 1, 2),
+    # L = (3, 5, 6) as (main, sub, sup); previous row's U = (4, 7, 8).
+    # Inputs are laid out (ny, 9, nxp) so the block's trailing dims (9, nxp)
+    # satisfy the Mosaic tiling rule (second-to-last equals the array dim).
+    def row(ref, k):
+        return ref[0, k, :].reshape(1, nxp)
+
+    d_m_re, d_m_im = row(cur_re_ref, 0), row(cur_im_ref, 0)
+    d_s_re, d_s_im = row(cur_re_ref, 1), row(cur_im_ref, 1)
+    d_p_re, d_p_im = row(cur_re_ref, 2), row(cur_im_ref, 2)
+    l_m_re, l_m_im = row(cur_re_ref, 3), row(cur_im_ref, 3)
+    l_s_re, l_s_im = row(cur_re_ref, 5), row(cur_im_ref, 5)
+    l_p_re, l_p_im = row(cur_re_ref, 6), row(cur_im_ref, 6)
+    u_m_re, u_m_im = row(prev_re_ref, 4), row(prev_im_ref, 4)
+    u_s_re, u_s_im = row(prev_re_ref, 7), row(prev_im_ref, 7)
+    u_p_re, u_p_im = row(prev_re_ref, 8), row(prev_im_ref, 8)
+
+    gp_re, gp_im = gp_re_ref[:], gp_im_ref[:]
+
+    # GU = G_prev @ tri(U_prev): column combination
+    #   (G U)[:, j] = G[:, j] u_m[j] + G[:, j+1] u_s[j+1] + G[:, j-1] u_p[j-1]
+    t1_re, t1_im = _cmul(gp_re, gp_im, u_m_re, u_m_im)
+    grr, gri = _shift_cols_left(gp_re), _shift_cols_left(gp_im)
+    sbr, sbi = _vshift_left(u_s_re), _vshift_left(u_s_im)
+    t2_re, t2_im = _cmul(grr, gri, sbr, sbi)
+    glr, gli = _shift_cols_right(gp_re), _shift_cols_right(gp_im)
+    spr, spi = _vshift_right(u_p_re), _vshift_right(u_p_im)
+    t3_re, t3_im = _cmul(glr, gli, spr, spi)
+    gu_re = t1_re + t2_re + t3_re
+    gu_im = t1_im + t2_im + t3_im
+
+    # LGU = tri(L) @ GU: row combination
+    #   (L M)[r, :] = l_m[r] M[r, :] + l_s[r] M[r-1, :] + l_p[r] M[r+1, :]
+    lm_re, lm_im = l_m_re.reshape(nxp, 1), l_m_im.reshape(nxp, 1)
+    ls_re, ls_im = l_s_re.reshape(nxp, 1), l_s_im.reshape(nxp, 1)
+    lp_re, lp_im = l_p_re.reshape(nxp, 1), l_p_im.reshape(nxp, 1)
+    a1_re, a1_im = _cmul(lm_re, lm_im, gu_re, gu_im)
+    mu_re, mu_im = _shift_rows_down(gu_re), _shift_rows_down(gu_im)
+    a2_re, a2_im = _cmul(ls_re, ls_im, mu_re, mu_im)
+    md_re, md_im = _shift_rows_up(gu_re), _shift_rows_up(gu_im)
+    a3_re, a3_im = _cmul(lp_re, lp_im, md_re, md_im)
+    lgu_re = a1_re + a2_re + a3_re
+    lgu_im = a1_im + a2_im + a3_im
+
+    # S = tri(D) - LGU (LGU is exactly zero at i=0: gp was zeroed).
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (nxp, nxp), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (nxp, nxp), 1)
+    on_diag = iota_r == iota_c
+    on_sub = iota_c == iota_r - 1      # T[r, r-1] = sub[r]
+    on_sup = iota_c == iota_r + 1      # T[r, r+1] = sup[r]
+    dmc_re = jnp.broadcast_to(d_m_re, (nxp, nxp))      # value d_m[c] at (r,c)
+    dmc_im = jnp.broadcast_to(d_m_im, (nxp, nxp))
+    dsr_re = jnp.broadcast_to(d_s_re.reshape(nxp, 1), (nxp, nxp))  # d_s[r]
+    dsr_im = jnp.broadcast_to(d_s_im.reshape(nxp, 1), (nxp, nxp))
+    dpr_re = jnp.broadcast_to(d_p_re.reshape(nxp, 1), (nxp, nxp))
+    dpr_im = jnp.broadcast_to(d_p_im.reshape(nxp, 1), (nxp, nxp))
+    s_re = jnp.where(on_diag, dmc_re,
+                     jnp.where(on_sub, dsr_re,
+                               jnp.where(on_sup, dpr_re, 0.0))) - lgu_re
+    s_im = jnp.where(on_diag, dmc_im,
+                     jnp.where(on_sub, dsr_im,
+                               jnp.where(on_sup, dpr_im, 0.0))) - lgu_im
+
+    # In-place blocked Gauss-Jordan inverse of S (cf. batched_inv.batched_inv,
+    # unbatched): use the output block as the working buffer.
+    g_re_ref[0] = s_re
+    g_im_ref[0] = s_im
+    rows_col = jax.lax.broadcasted_iota(jnp.int32, (nxp, bk), 0)
+    cols_row = jax.lax.broadcasted_iota(jnp.int32, (bk, nxp), 1)
+    for k in range(nxp // bk):
+        lo = k * bk
+        hi = lo + bk
+        # pivot block inverse (scalar GJ on values)
+        pinv_re, pinv_im = _pivot_gj(g_re_ref[0, lo:hi, lo:hi],
+                                     g_im_ref[0, lo:hi, lo:hi], bk)
+
+        r_re = g_re_ref[0, lo:hi, :]            # (bk, nxp) pivot rows
+        r_im = g_im_ref[0, lo:hi, :]
+        c_re = g_re_ref[0, :, lo:hi]            # (nxp, bk) panel columns
+        c_im = g_im_ref[0, :, lo:hi]
+        in_piv = (rows_col >= lo) & (rows_col < hi)
+        cz_re = jnp.where(in_piv, 0.0, c_re)    # pivot rows zeroed
+        cz_im = jnp.where(in_piv, 0.0, c_im)
+
+        rs_re, rs_im = _cdot(pinv_re, pinv_im, r_re, r_im)    # P^-1 R
+        cs_re, cs_im = _cdot(cz_re, cz_im, pinv_re, pinv_im)  # C P^-1
+
+        u_re, u_im = _cdot(cz_re, cz_im, rs_re, rs_im)        # rank-bk update
+        w_re = g_re_ref[0] - u_re
+        w_im = g_im_ref[0] - u_im
+        g_re_ref[0] = w_re
+        g_im_ref[0] = w_im
+        # panel columns (rows outside pivot block): -C P^-1
+        g_re_ref[0, :, lo:hi] = -cs_re
+        g_im_ref[0, :, lo:hi] = -cs_im
+        # pivot rows: P^-1 R off-panel, P^-1 in the panel block (lo is a
+        # Python constant, so the padded pivot rows are a static concat)
+        row_in_piv = (cols_row >= lo) & (cols_row < hi)
+
+        def embed(p):
+            parts = []
+            if lo:
+                parts.append(jnp.zeros((bk, lo), jnp.float32))
+            parts.append(p)
+            if nxp - hi:
+                parts.append(jnp.zeros((bk, nxp - hi), jnp.float32))
+            return jnp.concatenate(parts, axis=1) if len(parts) > 1 else p
+
+        g_re_ref[0, lo:hi, :] = jnp.where(row_in_piv, embed(pinv_re), rs_re)
+        g_im_ref[0, lo:hi, :] = jnp.where(row_in_piv, embed(pinv_im), rs_im)
+
+    # persist for the next grid step
+    gp_re_ref[:] = g_re_ref[0]
+    gp_im_ref[:] = g_im_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factor_g_pallas(coeffs: Cpx, interpret: bool = False) -> Cpx:
+    """All (ny, nx, nx) Schur-complement inverses G in one fused kernel.
+
+    ``coeffs``: the 9 split-complex coefficient planes (9, ny, nx). The x
+    dimension is padded to a multiple of the GJ panel width with identity
+    rows (D main plane = 1, all couplings 0), which the elimination inverts
+    exactly; the result is cropped back.
+    """
+    _, ny, nx = coeffs.re.shape
+    bk = _BK
+    nxp = -(-nx // bk) * bk
+
+    re, im = coeffs.re, coeffs.im
+    if nxp != nx:
+        pad = nxp - nx
+        re = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
+        im = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
+        # identity closure on the padded tail: D main = 1
+        tail = (jnp.arange(nxp) >= nx).astype(jnp.float32)
+        re = re.at[0].add(tail[None, :])
+
+    # (9, ny, nxp) -> (ny, 9, nxp): the per-row block (1, 9, nxp) then has
+    # trailing dims (9, nxp) == the array dims, which Mosaic accepts.
+    re = jnp.moveaxis(re, 0, 1)
+    im = jnp.moveaxis(im, 0, 1)
+    plane_spec_cur = pl.BlockSpec((1, 9, nxp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    plane_spec_prev = pl.BlockSpec(
+        (1, 9, nxp), lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nxp, nxp), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    g_re, g_im = pl.pallas_call(
+        functools.partial(_factor_kernel, nxp, bk),
+        grid=(ny,),
+        in_specs=[plane_spec_cur, plane_spec_cur,
+                  plane_spec_prev, plane_spec_prev],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp, nxp), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((nxp, nxp), jnp.float32),
+            pltpu.VMEM((nxp, nxp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(re, im, re, im)
+
+    if nxp != nx:
+        g_re = g_re[:, :nx, :nx]
+        g_im = g_im[:, :nx, :nx]
+    return Cpx(g_re, g_im)
+
+
+def banded_factor_pallas(coeffs: Cpx, interpret: bool = False):
+    """Drop-in block-Thomas factor built by the fused kernel (same
+    BandedFactorCpx contract as split_engine.banded_factor_cpx)."""
+    from .split_engine import BandedFactorCpx
+    return BandedFactorCpx(g=factor_g_pallas(coeffs, interpret=interpret),
+                           coeffs=coeffs)

@@ -449,11 +449,26 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
 
 
 def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
-    """Direct factorization for the split engine: block-Thomas or cyclic
-    reduction, per ``cfg.factorization``."""
-    if cfg.factorization == "cr":
+    """Direct factorization for the split engine: fused Pallas kernel,
+    block-Thomas scan, or cyclic reduction, per ``cfg.factorization``.
+
+    "auto" uses the fused Pallas factorization kernel on TPU (the XLA scan
+    floors at ~114 ms for 301^2 on the targeted runtime vs ~49 ms fused;
+    see ops/pallas_factor.py) and the XLA block-Thomas scan elsewhere.
+    Hybrid options (Schulz warm starts, fast_sweeps) force the scan path.
+    """
+    mode = cfg.factorization
+    if mode == "auto":
+        use_pallas = (jax.default_backend() != "cpu"
+                      and cfg.factor_schulz_steps <= 0
+                      and not cfg.fast_sweeps)
+        mode = "pallas" if use_pallas else "thomas"
+    if mode == "pallas":
+        from .pallas_factor import banded_factor_pallas
+        return banded_factor_pallas(coeffs)
+    if mode == "cr":
         return cr_factor_cpx(coeffs)
-    if cfg.factorization == "thomas":
+    if mode == "thomas":
         # fast_sweeps measured NET-SLOWER on the real TPU at the benchmark
         # workload (factor 135 vs 114 ms, iteration 0.160 vs 0.148 s): the
         # extra embedding work exceeds the ~1.4 ms/solve sweep saving. Auto
