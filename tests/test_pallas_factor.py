@@ -54,3 +54,21 @@ def test_solves_through_pallas_factor():
         rel = float(np.sqrt(np.sum(np.abs(cpx.to_numpy(r)) ** 2)
                             / np.sum(np.abs(cpx.to_numpy(b)) ** 2)))
         assert rel < 2e-5, (adjoint, rel)
+
+
+def test_sweep_kernel_matches_xla_sweeps():
+    """Fused sweep passes == the XLA scan sweeps (identical op order, so
+    the interpret-mode comparison is bitwise-tight), both directions."""
+    coeffs, grid = _coeffs()
+    ny, nx = grid.shape
+    rng = np.random.default_rng(1)
+    b = cpx.of((rng.standard_normal((3, ny, nx))
+                + 1j * rng.standard_normal((3, ny, nx))).astype(np.complex64))
+    fac = banded_factor_cpx(coeffs, 0)
+    from waveforminversionust_tpu.ops.pallas_sweep import banded_solve_pallas
+    for adjoint in (False, True):
+        x_ref = cpx.to_numpy(banded_solve_cpx(fac, b, adjoint=adjoint))
+        x_pal = cpx.to_numpy(banded_solve_pallas(fac, b, adjoint=adjoint,
+                                                 interpret=True))
+        rel = np.linalg.norm(x_pal - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-6, (adjoint, rel)

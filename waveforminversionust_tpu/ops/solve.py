@@ -484,7 +484,15 @@ def _banded_solve_refined_cpx(factor, rhs: Cpx,
                               cfg: SolverConfig, adjoint: bool) -> Cpx:
     opfn = (lambda v: h_apply_adjoint_cpx(factor.coeffs, v)) if adjoint \
         else (lambda v: h_apply_cpx(factor.coeffs, v))
-    base = cr_solve_cpx if isinstance(factor, CRFactor) else banded_solve_cpx
+    if isinstance(factor, CRFactor):
+        base = cr_solve_cpx
+    elif (jax.default_backend() != "cpu" and factor.sweeps is None):
+        # Fused-sweep kernel: each pass is one pallas_call instead of an
+        # XLA scan paying ~43 us/row of dispatch floor (ops/pallas_sweep).
+        from .pallas_sweep import banded_solve_pallas
+        base = banded_solve_pallas
+    else:
+        base = banded_solve_cpx
     x = base(factor, rhs, adjoint=adjoint)
     for _ in range(cfg.refine):
         r = rhs - opfn(x)
