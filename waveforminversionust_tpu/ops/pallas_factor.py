@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from . import cpx
 from .cpx import Cpx
 
-_BK = 32          # GJ panel width (MXU rank per update)
+# GJ panel width (MXU rank per update). Measured at 301^2 on the real
+# chip: bk=16 -> 59 ms, 32 -> 49 ms, 64 -> 41.5 ms, 128 -> 53.5 ms (the
+# nxp=384 padding overtakes the fewer-panels gain); 64 is the sweet spot.
+_BK = 64
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -258,17 +261,17 @@ def _factor_kernel(nxp: int, bk: int,
     gp_im_ref[:] = g_im_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def factor_g_pallas(coeffs: Cpx, interpret: bool = False) -> Cpx:
+@functools.partial(jax.jit, static_argnames=("interpret", "bk"))
+def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
+                    bk: int = _BK) -> Cpx:
     """All (ny, nx, nx) Schur-complement inverses G in one fused kernel.
 
     ``coeffs``: the 9 split-complex coefficient planes (9, ny, nx). The x
-    dimension is padded to a multiple of the GJ panel width with identity
-    rows (D main plane = 1, all couplings 0), which the elimination inverts
-    exactly; the result is cropped back.
+    dimension is padded to a multiple of the GJ panel width ``bk`` with
+    identity rows (D main plane = 1, all couplings 0), which the
+    elimination inverts exactly; the result is cropped back.
     """
     _, ny, nx = coeffs.re.shape
-    bk = _BK
     nxp = -(-nx // bk) * bk
 
     re, im = coeffs.re, coeffs.im
