@@ -420,3 +420,46 @@ class TestCheckpointResume:
         np.testing.assert_allclose(res_resumed.velocity, res_full.velocity,
                                    atol=1e-4 * float(np.abs(
                                        res_full.velocity).max()))
+
+
+class TestLiveCallback:
+    def test_live_callback_fires_at_reference_cadence(self, tmp_path):
+        """live_every=1 reproduces the MATLAB driver's every-iteration
+        redraw cadence (FrequencyDomainFWI.m:176-188): the callback fires
+        once per CG iteration with the current velocity, and the chunked
+        execution leaves the trajectory identical to the unchunked run."""
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        from waveforminversionust_tpu.fwi.runner import invert_dataset
+        from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                                 snap_to_grid)
+
+        coarse = Grid2D.centered(24e-3, 0.8e-3)
+        xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+        xi, yi = snap_to_grid(coarse, xe, ye)
+        xs, ys = coarse.x[xi], coarse.y[yi]
+        fine = Grid2D.centered(24e-3, 0.4e-3)
+        true_vel_f = smooth_blob_phantom(fine, radius=8e-3, dc=30,
+                                         c_bkgnd=C0)
+        ds = synthesize_ring_dataset(true_vel_f, fine, ACQ, f=F, seed=3,
+                                     solver=SOLVER, x_elem=xs, y_elem=ys)
+        fwi = FWIConfig(num_iterations=3)
+        common = dict(grid=coarse, acquisition=ACQ, solver=SOLVER, fwi=fwi)
+
+        res_plain = invert_dataset(ds, **common)
+
+        seen = []
+        res_live = invert_dataset(
+            ds, live_every=1,
+            live_callback=lambda s, f, it, vel, m: seen.append(
+                (s, it, np.asarray(vel).copy(), np.asarray(m.loss))),
+            **common)
+
+        assert [(s, it) for s, it, *_ in seen] == [(0, 1), (0, 2), (0, 3)]
+        # each chunk reports exactly one iteration's metrics
+        assert all(loss.shape == (1,) for *_, loss in seen)
+        # chunking must not change the math
+        np.testing.assert_allclose(seen[-1][2], np.asarray(res_plain.velocity),
+                                   rtol=2e-6, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(res_live.metrics["loss"]),
+            np.asarray(res_plain.metrics["loss"]), rtol=2e-5)

@@ -33,9 +33,18 @@ def test_factor_matches_xla_scan():
     the identity-padded elimination tail."""
     coeffs, _ = _coeffs()
     g_ref = cpx.to_numpy(banded_factor_cpx(coeffs, 0).g)
-    g_pal = cpx.to_numpy(factor_g_pallas(coeffs, interpret=True))
+    g_crop, g_padded = factor_g_pallas(coeffs, interpret=True)
+    g_pal = cpx.to_numpy(g_crop)
     rel = np.linalg.norm(g_pal - g_ref) / np.linalg.norm(g_ref)
     assert rel < 5e-6, rel
+    # the padded factor carries an exact identity tail (the sweeps rely on
+    # the padded components staying decoupled)
+    nxp = g_padded.re.shape[-1]
+    nx = g_ref.shape[-1]
+    tail = cpx.to_numpy(g_padded)[:, nx:, nx:]
+    np.testing.assert_allclose(tail.real,
+                               np.broadcast_to(np.eye(nxp - nx),
+                                               tail.shape).real, atol=1e-6)
 
 
 def test_solves_through_pallas_factor():
@@ -65,6 +74,7 @@ def test_sweep_kernel_matches_xla_sweeps():
     b = cpx.of((rng.standard_normal((3, ny, nx))
                 + 1j * rng.standard_normal((3, ny, nx))).astype(np.complex64))
     fac = banded_factor_cpx(coeffs, 0)
+    fac_pal = banded_factor_pallas(coeffs, interpret=True)  # carries g_pad
     from waveforminversionust_tpu.ops.pallas_sweep import banded_solve_pallas
     for adjoint in (False, True):
         x_ref = cpx.to_numpy(banded_solve_cpx(fac, b, adjoint=adjoint))
@@ -72,3 +82,8 @@ def test_sweep_kernel_matches_xla_sweeps():
                                                  interpret=True))
         rel = np.linalg.norm(x_pal - x_ref) / np.linalg.norm(x_ref)
         assert rel < 1e-6, (adjoint, rel)
+        # padded-factor path (no re-pad inside the sweeps)
+        x_pp = cpx.to_numpy(banded_solve_pallas(fac_pal, b, adjoint=adjoint,
+                                                interpret=True))
+        rel = np.linalg.norm(x_pp - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 5e-6, (adjoint, rel)

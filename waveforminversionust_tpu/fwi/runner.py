@@ -47,7 +47,9 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                    attenuation=None,
                    checkpoint_dir: str | None = None,
                    checkpoint_every: int | None = None,
-                   resume_from: str | None = None) -> InversionResult:
+                   resume_from: str | None = None,
+                   live_every: int | None = None,
+                   live_callback: Callable | None = None) -> InversionResult:
     """Invert a RingDataset (loaded or synthesized).
 
     Args:
@@ -81,6 +83,12 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             iteration with the saved CG carry) and reproduces the
             uninterrupted trajectory. Returned metrics include the restored
             history of the interrupted stage onward.
+        live_every / live_callback: the reference's live-plot cadence
+            (FrequencyDomainFWI.m:176-188 redraws the reconstruction every
+            iteration). ``live_callback(stage_idx, frequency, iteration,
+            velocity, chunk_metrics)`` fires every ``live_every`` CG
+            iterations, host-side between jitted chunks (``live_every=1``
+            is the MATLAB cadence; see viz.make_live_plot_callback).
     """
     # ``dataset`` may be a single RingDataset or a {frequency: RingDataset}
     # mapping for broadband acquisitions (per-stage observed data). The
@@ -129,6 +137,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
 
     checkpointing = (checkpoint_dir is not None and checkpoint_every
                      and method == "cg")
+    live = live_callback is not None and live_every and method == "cg"
     if checkpointing:
         import os
 
@@ -161,8 +170,11 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         if method == "cg":
             sd, gp = sd0, gp0
             while stage_it < n_iter:
-                chunk = (min(int(checkpoint_every), n_iter - stage_it)
-                         if checkpointing else n_iter - stage_it)
+                chunk = n_iter - stage_it
+                if checkpointing:
+                    chunk = min(chunk, int(checkpoint_every))
+                if live:
+                    chunk = min(chunk, int(live_every))
                 res = nonlinear_cg(vel, data, grid, solver, fwi,
                                    num_iterations=chunk,
                                    init_search_dir=sd, init_grad_prev=gp,
@@ -171,6 +183,10 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                 sd, gp = res.search_dir, res.gradient
                 parts.append(res.metrics)
                 stage_it += chunk
+                if live and (stage_it % int(live_every) == 0
+                             or stage_it >= n_iter):
+                    live_callback(stage_idx, freq, stage_it,
+                                  np.asarray(vel), res.metrics)
                 if checkpointing:
                     m_sofar = _cat_metrics(parts)
                     save_state(latest_path, {

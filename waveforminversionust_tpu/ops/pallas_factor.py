@@ -311,15 +311,17 @@ def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
         interpret=interpret,
     )(re, im, re, im)
 
+    g_pad = Cpx(g_re, g_im)
     if nxp != nx:
         g_re = g_re[:, :nx, :nx]
         g_im = g_im[:, :nx, :nx]
-    return Cpx(g_re, g_im)
+    return Cpx(g_re, g_im), g_pad
 
 
 def banded_factor_pallas(coeffs: Cpx, interpret: bool = False):
     """Drop-in block-Thomas factor built by the fused kernel (same
-    BandedFactorCpx contract as split_engine.banded_factor_cpx)."""
+    BandedFactorCpx contract as split_engine.banded_factor_cpx). Carries
+    the panel-padded G so the fused sweeps skip their re-pad."""
     from .split_engine import BandedFactorCpx
-    return BandedFactorCpx(g=factor_g_pallas(coeffs, interpret=interpret),
-                           coeffs=coeffs)
+    g, g_pad = factor_g_pallas(coeffs, interpret=interpret)
+    return BandedFactorCpx(g=g, coeffs=coeffs, g_pad=g_pad)

@@ -231,27 +231,31 @@ def banded_solve_pallas(factor, b: Cpx, adjoint: bool = False,
     split_engine.banded_solve_cpx). b: (batch, ny, nx)."""
     g, coeffs = factor.g, factor.coeffs
     ny, nx = g.re.shape[0], coeffs.re.shape[2]
-    nxg = g.re.shape[1]
     batch = b.re.shape[0]
-    nxp = nxg  # factor G may already be padded (pallas factor crops; re-pad)
 
-    # pad everything to the panel width the gemv wants (multiple of 8 is
-    # enough for tiling; use 32 to match the factor kernel)
-    nxp = -(-nx // 32) * 32
-    pad = nxp - nx
+    g_pad = getattr(factor, "g_pad", None)
+    if g_pad is not None:
+        # padded factor from the fused factorization kernel — no re-pad
+        nxp = g_pad.re.shape[-1]
+        g_re, g_im = g_pad.re, g_pad.im
+        pad = nxp - nx
+    else:
+        # pad to a sublane multiple (use 32 to match the factor kernel)
+        nxp = -(-nx // 32) * 32
+        pad = nxp - nx
+        g_re, g_im = g.re, g.im
+        if pad:
+            g_re = jnp.pad(g_re, ((0, 0), (0, pad), (0, pad)))
+            g_im = jnp.pad(g_im, ((0, 0), (0, pad), (0, pad)))
+            # identity tail keeps the padded components decoupled
+            eye_tail = (jnp.arange(nxp) >= nx).astype(jnp.float32)
+            g_re = g_re + (jnp.eye(nxp, dtype=jnp.float32)[None]
+                           * eye_tail[None, None, :] * eye_tail[None, :, None])
 
-    def padx(a, value_tail=0.0):
+    def padx(a):
         if pad == 0:
             return a
         return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-
-    g_re, g_im = g.re, g.im
-    if g_re.shape[-1] != nxp:
-        g_re = jnp.pad(g_re, ((0, 0), (0, pad), (0, pad)))
-        g_im = jnp.pad(g_im, ((0, 0), (0, pad), (0, pad)))
-        # identity tail keeps the padded components decoupled
-        eye_tail = (jnp.arange(nxp) >= nx).astype(jnp.float32)
-        g_re = g_re + jnp.eye(nxp, dtype=jnp.float32)[None] * eye_tail[None, None, :] * eye_tail[None, :, None]
 
     planes_re = padx(jnp.moveaxis(coeffs.re, 0, 1))   # (ny, 9, nxp)
     planes_im = padx(jnp.moveaxis(coeffs.im, 0, 1))

@@ -204,6 +204,10 @@ class BandedFactorCpx(NamedTuple):
     # production-sized 2D solves via SolverConfig.fast_sweeps — see
     # prepare_sweep_ops).
     sweeps: SweepOpsCpx | None = None
+    # Panel-padded G (ny, nxp, nxp) with an identity tail, as produced by
+    # the fused Pallas factorization — lets the fused sweeps skip a
+    # ~250 MB/call re-pad (XLA DCEs whichever representation goes unused).
+    g_pad: Cpx | None = None
 
 
 def _shift_x(v, d: int):

@@ -143,3 +143,28 @@ def plot_time_snapshots(grid: Grid2D, result, n_frames: int = 6,
         fig.savefig(path, dpi=110)
         plt.close(fig)
     return fig
+
+
+def make_live_plot_callback(outdir: str, grid: Grid2D, true_map=None,
+                            true_grid: Grid2D | None = None,
+                            overwrite: bool = True):
+    """Live reconstruction plotting at the reference's cadence.
+
+    The MATLAB driver redraws its diagnostic panel every CG iteration
+    (FrequencyDomainFWI.m:176-188). Pass the returned callback to
+    ``invert_dataset(live_every=1, live_callback=...)``: every chunk it
+    writes ``<outdir>/live.png`` (or ``live_sXX_iterYYYY.png`` with
+    ``overwrite=False`` to keep the whole filmstrip) — headless-safe.
+    """
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def callback(stage_idx, frequency, iteration, velocity, chunk_metrics):
+        name = ("live.png" if overwrite
+                else f"live_s{stage_idx:02d}_iter{iteration:04d}.png")
+        plot_reconstruction(grid, velocity, true_map=true_map,
+                            true_grid=true_grid, iteration=iteration,
+                            path=os.path.join(outdir, name))
+
+    return callback
