@@ -301,3 +301,38 @@ def test_multifreq_lossy_regularized():
     assert np.all(np.isfinite(loss))
     assert loss[-1] < 0.5 * loss[0]
     assert 1505.0 < float(np.max(np.asarray(vel)))
+
+
+def test_lbfgs_attenuation_inversion_recovers_alpha(setup):
+    """Turnkey alpha inversion (framework addition): with the velocity
+    known, L-BFGS through the differentiable LOSSY solve recovers the
+    absorber map from ring data — physics the reference cannot express
+    (its solver is lossless)."""
+    from waveforminversionust_tpu import AcquisitionConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.lbfgs import run_lbfgs_attenuation
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+
+    grid, solver, vel, _ = setup
+    acq_cfg = AcquisitionConfig(num_elements=12, radius=6e-3,
+                                num_excluded_each_side=1)
+    yy, xx = np.meshgrid(np.arange(grid.ny) - grid.ny / 2,
+                         np.arange(grid.nx) - grid.nx / 2, indexing="ij")
+    alpha_true = (90.0 * np.exp(-(yy ** 2 + xx ** 2) / 8.0 ** 2)
+                  ).astype(np.float32)
+    ds = synthesize_ring_dataset(vel, grid, acq_cfg, f=F, solver=solver,
+                                 seed=2, attenuation=alpha_true)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, F)
+
+    res = run_lbfgs_attenuation(vel, np.zeros(grid.shape, np.float32), data,
+                                grid, solver, num_iterations=8,
+                                alpha_scale=50.0)
+    losses = np.asarray(res.loss_history)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < 0.3 * losses[0], losses
+    err0 = np.linalg.norm(alpha_true)
+    err = np.linalg.norm(np.asarray(res.attenuation) - alpha_true)
+    assert err < 0.8 * err0, (err, err0)

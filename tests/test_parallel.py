@@ -196,3 +196,46 @@ def test_freq_shot_sharded_multifreq_matches_serial():
     np.testing.assert_allclose(np.asarray(vel_sharded),
                                np.asarray(vel_serial),
                                atol=1e-3 * float(np.abs(vel_serial).max()))
+
+
+def test_shot_sharded_3d_cg_matches_single_device():
+    """3D FWI shot-sharded over the mesh == unsharded (the 3D Born operator
+    is global in k-space, so the scalable axis is the transmit batch —
+    GSPMD inserts the gradient/inner-product psums)."""
+    from waveforminversionust_tpu.fwi.fwi3d import (build_fwi_data_3d,
+                                                    nonlinear_cg_3d,
+                                                    sample_receivers_3d)
+    from waveforminversionust_tpu.models.acquisition3d import (
+        build_acquisition3d, cylinder_positions, source_fields_3d)
+    from waveforminversionust_tpu.models.grid3d import Grid3D
+    from waveforminversionust_tpu.ops.born3d import born_series_solve_3d
+    from waveforminversionust_tpu.parallel.sharding import shard_fwi_data_3d
+
+    C0, f = 1500.0, 200e3
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    grid = Grid3D.centered(12e-3, 1.0e-3)
+    pos = cylinder_positions(1, 8, 8e-3, 0.0)
+    acq = build_acquisition3d(grid, pos, min_angle=0.8)
+    z = grid.z0 + grid.dz * jnp.arange(grid.nz)
+    y = grid.y0 + grid.dy * jnp.arange(grid.ny)
+    x = grid.x0 + grid.dx * jnp.arange(grid.nx)
+    r2 = (z[:, None, None] ** 2 + y[None, :, None] ** 2
+          + x[None, None, :] ** 2)
+    vel_true = (C0 + 40.0 * jnp.exp(-r2 / 4e-3 ** 2)).astype(jnp.float32)
+    src = source_fields_3d(acq, grid)
+    wv, _ = born_series_solve_3d(vel_true, src, f, grid, pml, iter_cap=400)
+    rec_obs = sample_receivers_3d(wv, jnp.asarray(acq.rx_idx))
+    data = build_fwi_data_3d(acq, rec_obs, f, grid)
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+
+    vel_ref, m_ref = nonlinear_cg_3d(vel0, data, grid, num_iterations=2,
+                                     pml=pml, iter_cap=400)
+
+    mesh = shot_mesh()
+    data_sh = shard_fwi_data_3d(data, mesh)
+    vel_sh, m_sh = nonlinear_cg_3d(vel0, data_sh, grid, num_iterations=2,
+                                   pml=pml, iter_cap=400)
+    np.testing.assert_allclose(np.asarray(m_sh.loss), np.asarray(m_ref.loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vel_sh), np.asarray(vel_ref),
+                               rtol=5e-5, atol=5e-4)

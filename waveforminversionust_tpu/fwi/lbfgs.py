@@ -113,3 +113,77 @@ def run_lbfgs(vel_init, data: FWIData, grid: Grid2D,
                                        None, length=num_iterations)
     vel = 1.0 / (params * slow_ref).reshape(grid.shape)
     return LBFGSResult(velocity=vel, loss_history=losses)
+
+
+class AttenuationResult(NamedTuple):
+    velocity: jnp.ndarray      # (ny, nx) [m/s]
+    attenuation: jnp.ndarray   # (ny, nx) [Np/m]
+    loss_history: jnp.ndarray  # (num_iterations,) data misfit
+
+
+@partial(jax.jit, static_argnames=("grid", "solver", "num_iterations",
+                                   "memory_size", "estimate_sources",
+                                   "invert_velocity"))
+def run_lbfgs_attenuation(vel_init, alpha_init, data: FWIData, grid: Grid2D,
+                          solver: SolverConfig = SolverConfig(),
+                          num_iterations: int = 10, memory_size: int = 10,
+                          estimate_sources: bool = True,
+                          invert_velocity: bool = False,
+                          alpha_scale: float = 50.0) -> AttenuationResult:
+    """Turnkey attenuation inversion over the differentiable lossy solve.
+
+    Recovers the alpha map [Np/m] (and, with ``invert_velocity=True``,
+    jointly the sound speed) by L-BFGS through the custom-VJP Helmholtz
+    solve with k = omega/c + i*sgn*alpha — the capability the framework's
+    lossy physics enables and the reference cannot express at all (its
+    solver is lossless; SURVEY.md preamble). Parameters are optimized in
+    dimensionless form (slowness relative to the start, alpha relative to
+    ``alpha_scale``) with a data-normalized misfit, for the same f32
+    linesearch reasons as :func:`run_lbfgs`. Alpha is kept non-negative
+    through a softplus-free clip at evaluation (physically alpha >= 0;
+    plain clipping keeps the objective piecewise-smooth and the optimizer
+    stable at the boundary).
+    """
+    from ..ops.cpx import Cpx, abs2
+
+    slow0 = (1.0 / jnp.asarray(vel_init, jnp.float32)).ravel()
+    slow_ref = jnp.mean(slow0)
+    alpha0 = jnp.asarray(alpha_init, jnp.float32).ravel()
+    a_ref = jnp.float32(alpha_scale)
+    if isinstance(data.rec_obs, Cpx):
+        data_norm = 0.5 * jnp.sum(abs2(data.rec_obs))
+    else:
+        data_norm = 0.5 * jnp.sum(jnp.abs(data.rec_obs) ** 2)
+    data_norm = jax.lax.stop_gradient(data_norm)
+
+    n_pix = slow0.size
+
+    def unpack(p):
+        slow = (p[:n_pix] * slow_ref if invert_velocity else slow0)
+        alpha = jnp.maximum(p[-n_pix:] * a_ref, 0.0)
+        return slow.reshape(grid.shape), alpha.reshape(grid.shape)
+
+    def loss_fn(p):
+        slow, alpha = unpack(p)
+        d = data._replace(attenuation=alpha)
+        raw = fwi_loss(slow.ravel(), d, grid, solver, estimate_sources)
+        return raw / data_norm
+
+    params0 = (jnp.concatenate([slow0 / slow_ref, alpha0 / a_ref])
+               if invert_velocity else alpha0 / a_ref)
+    opt = optax.lbfgs(memory_size=memory_size)
+    opt_state0 = opt.init(params0)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(
+            grad, opt_state, params, value=loss, grad=grad, value_fn=loss_fn)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss * data_norm
+
+    (params, _), losses = jax.lax.scan(step, (params0, opt_state0),
+                                       None, length=num_iterations)
+    slow, alpha = unpack(params)
+    return AttenuationResult(velocity=1.0 / slow, attenuation=alpha,
+                             loss_history=losses)

@@ -110,3 +110,30 @@ def replicate(tree, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), rep),
                                   tree)
+
+
+def shard_fwi_data_3d(data, mesh: Mesh, axis_name: str = "shot"):
+    """Shot-shard :class:`~..fwi.fwi3d.FWIData3D` over the mesh.
+
+    The 3D Born operator is global in k-space (FFTs over the volume), so
+    grid slabs cannot shard without a distributed FFT; the scalable axis is
+    the transmit batch — identical to the 2D strategy. src/rec_obs/rx_idx
+    shard along dim 0 (the solve, receiver sampling, adjoint scatter and
+    per-voxel gradient terms are all shot-elementwise; the gradient SUM
+    and line-search inner products reduce over shots via GSPMD psum).
+    """
+    shot = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        if isinstance(x, Cpx):
+            return Cpx(jax.device_put(x.re, sharding),
+                       jax.device_put(x.im, sharding))
+        return jax.device_put(x, sharding)
+
+    return data._replace(
+        src=put(data.src, shot),
+        rec_obs=put(data.rec_obs, shot),
+        rx_idx=put(data.rx_idx, shot),
+        f=put(data.f, rep),
+    )
