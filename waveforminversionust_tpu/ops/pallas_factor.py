@@ -94,42 +94,62 @@ def _pivot_gj(p_re, p_im, bk: int):
     """Scalar Gauss-Jordan inverse of the (bk, bk) pivot block (values in,
     values out). Same cancellation-safe update as pallas_inv._gj_kernel.
 
-    Row/column/pivot extraction uses masked reductions instead of dynamic
-    slices — Mosaic cannot load at a dynamic lane offset, and for a bk x bk
-    block a masked sum is a trivial VPU op anyway."""
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+    Lane-packed: a lone (bk, bk) f32 array occupies a full 128-lane vreg
+    row anyway (half wasted at bk=64), so re and im ride side by side as
+    one (bk, 2bk) array and every elementwise/update op does both
+    components in one pass. Measured effect at 301^2: ~none (40.6 vs
+    41.5 ms whole-kernel) — the per-step cost is op-issue latency, not
+    vreg throughput (PERF_NOTES round 2) — but the packed form also needs
+    fewer distinct ops, so it is kept. Row/column/pivot extraction uses
+    masked reductions (Mosaic cannot load at a dynamic lane offset); the
+    complex cross-terms use a half-width lane roll: with m = [Re | Im] and
+    m~ = roll(m, bk) = [Im | Re],
+      (a + ib) * m packed = a * m + b * (-sgn * m~),  sgn = [+1... | -1...].
+    """
+    m = jnp.concatenate([p_re, p_im], axis=1)          # (bk, 2bk) [Re|Im]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bk, 2 * bk), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, 2 * bk), 1)
+    # +1 on the Re half, -1 on the Im half (for conjugating the swapped m~)
+    sgn = jnp.where(iota_c < bk, 1.0, -1.0).astype(jnp.float32)
+    zero = jnp.float32(0.0)
 
-    def step(j, p):
-        p_re, p_im = p
+    def swap(x):
+        return pltpu.roll(x, bk, 1)
+
+    def step(j, m):
         is_r = iota_r == j
-        is_c = iota_c == j
-        zero = jnp.float32(0.0)
-        row_re = jnp.sum(jnp.where(is_r, p_re, zero), 0, keepdims=True)
-        row_im = jnp.sum(jnp.where(is_r, p_im, zero), 0, keepdims=True)
-        col_re = jnp.sum(jnp.where(is_c, p_re, zero), 1, keepdims=True)
-        col_im = jnp.sum(jnp.where(is_c, p_im, zero), 1, keepdims=True)
-        piv_re = jnp.sum(jnp.where(is_r & is_c, p_re, zero), keepdims=False)
-        piv_im = jnp.sum(jnp.where(is_r & is_c, p_im, zero), keepdims=False)
+        is_cre = iota_c == j
+        is_cim = iota_c == j + bk
+        # row j, both halves: (1, 2bk); column j re/im parts: (bk, 1)
+        row = jnp.sum(jnp.where(is_r, m, zero), 0, keepdims=True)
+        col_re = jnp.sum(jnp.where(is_cre, m, zero), 1, keepdims=True)
+        col_im = jnp.sum(jnp.where(is_cim, m, zero), 1, keepdims=True)
+        piv_re = jnp.sum(jnp.where(is_r & is_cre, m, zero))
+        piv_im = jnp.sum(jnp.where(is_r & is_cim, m, zero))
 
         den = jnp.maximum(piv_re * piv_re + piv_im * piv_im, 1e-38)
         pr, pi = piv_re / den, -piv_im / den
 
-        s_re, s_im = _cmul(col_re, col_im, pr, pi)      # C p^-1 (bk, 1)
-        sr_re, sr_im = _cmul(row_re, row_im, pr, pi)    # R p^-1 (1, bk)
+        s_re = col_re * pr - col_im * pi               # C p^-1 (bk, 1)
+        s_im = col_re * pi + col_im * pr
+        # packed products against row (see docstring): x * row with complex
+        # scalar-per-row s: s_re * row + s_im * (-sgn * row~)
+        row_sw = swap(row)
+        sr = pr * row + pi * (-sgn * row_sw)           # R p^-1  (1, 2bk)
+        upd = s_re * row + s_im * (-sgn * row_sw)      # rank-1 outer
 
-        ur, ui = _cmul(s_re, s_im, row_re, row_im)      # rank-1 outer
-        new_re = p_re - ur
-        new_im = p_im - ui
-        new_re = jnp.where(is_c, -jnp.broadcast_to(s_re, (bk, bk)), new_re)
-        new_im = jnp.where(is_c, -jnp.broadcast_to(s_im, (bk, bk)), new_im)
-        new_re = jnp.where(is_r, jnp.broadcast_to(sr_re, (bk, bk)), new_re)
-        new_im = jnp.where(is_r, jnp.broadcast_to(sr_im, (bk, bk)), new_im)
-        new_re = jnp.where(is_r & is_c, pr, new_re)
-        new_im = jnp.where(is_r & is_c, pi, new_im)
-        return (new_re, new_im)
+        new = m - upd
+        # panel column j: [-s_re | -s_im]
+        new = jnp.where(is_cre, -jnp.broadcast_to(s_re, (bk, 2 * bk)), new)
+        new = jnp.where(is_cim, -jnp.broadcast_to(s_im, (bk, 2 * bk)), new)
+        # pivot row j: R p^-1, and p^-1 itself on the diagonal
+        new = jnp.where(is_r, jnp.broadcast_to(sr, (bk, 2 * bk)), new)
+        new = jnp.where(is_r & is_cre, pr, new)
+        new = jnp.where(is_r & is_cim, pi, new)
+        return new
 
-    return jax.lax.fori_loop(0, bk, step, (p_re, p_im))
+    m = jax.lax.fori_loop(0, bk, step, m)
+    return m[:, :bk], m[:, bk:]
 
 
 def _factor_kernel(nxp: int, bk: int,
