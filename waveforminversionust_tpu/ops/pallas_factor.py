@@ -90,72 +90,67 @@ def _vshift_right(v):
     return jnp.concatenate([z, v[:, :-1]], axis=1)
 
 
-def _pivot_gj(p_re, p_im, bk: int):
-    """Scalar Gauss-Jordan inverse of the (bk, bk) pivot block (values in,
-    values out). Same cancellation-safe update as pallas_inv._gj_kernel.
+def _pivot_gj_ref(pv_ref, bk: int):
+    """Scalar Gauss-Jordan inverse of the packed (bk, 2bk) [Re | Im] pivot
+    block, in place in a VMEM scratch ref. Same cancellation-safe update as
+    pallas_inv._gj_kernel.
 
-    Lane-packed: a lone (bk, bk) f32 array occupies a full 128-lane vreg
-    row anyway (half wasted at bk=64), so re and im ride side by side as
-    one (bk, 2bk) array and every elementwise/update op does both
-    components in one pass. Measured effect at 301^2: ~none (40.6 vs
-    41.5 ms whole-kernel) — the per-step cost is op-issue latency, not
-    vreg throughput (PERF_NOTES round 2) — but the packed form also needs
-    fewer distinct ops, so it is kept. Row/column/pivot extraction uses
-    masked reductions (Mosaic cannot load at a dynamic lane offset); the
-    complex cross-terms use a half-width lane roll: with m = [Re | Im] and
-    m~ = roll(m, bk) = [Im | Re],
-      (a + ib) * m packed = a * m + b * (-sgn * m~),  sgn = [+1... | -1...].
-    """
-    m = jnp.concatenate([p_re, p_im], axis=1)          # (bk, 2bk) [Re|Im]
+    Lane-packed: a lone (bk, bk) f32 array occupies full 128-lane vregs
+    anyway (half wasted at bk=64), so re and im ride side by side and each
+    op does both components; complex cross-terms use a half-width lane
+    roll: with m = [Re|Im], m~ = roll(m, bk) = [Im|Re],
+      (a + ib) * m packed = a * m + b * (-sgn * m~),  sgn = [+1...|-1...].
+    The ref carry makes the row extraction one dynamic SUBLANE slice read
+    (legal in Mosaic; lane slicing is not); columns still need masked
+    reductions. Measured at 301^2: 41.5 (value-carried masked) -> 39.3 ms
+    whole-kernel — the loop is VPU op-issue-latency-bound (~12 ns/op,
+    ~20 ops/step), so layout tricks move it only a few percent
+    (PERF_NOTES round 2)."""
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (bk, 2 * bk), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, 2 * bk), 1)
-    # +1 on the Re half, -1 on the Im half (for conjugating the swapped m~)
+    iota_cr = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * bk), 1)
     sgn = jnp.where(iota_c < bk, 1.0, -1.0).astype(jnp.float32)
     zero = jnp.float32(0.0)
 
     def swap(x):
         return pltpu.roll(x, bk, 1)
 
-    def step(j, m):
-        is_r = iota_r == j
+    def step(j, carry):
+        m = pv_ref[:]
         is_cre = iota_c == j
         is_cim = iota_c == j + bk
-        # row j, both halves: (1, 2bk); column j re/im parts: (bk, 1)
-        row = jnp.sum(jnp.where(is_r, m, zero), 0, keepdims=True)
+        row = pv_ref[pl.ds(j, 1), :]                   # (1, 2bk)
         col_re = jnp.sum(jnp.where(is_cre, m, zero), 1, keepdims=True)
         col_im = jnp.sum(jnp.where(is_cim, m, zero), 1, keepdims=True)
-        piv_re = jnp.sum(jnp.where(is_r & is_cre, m, zero))
-        piv_im = jnp.sum(jnp.where(is_r & is_cim, m, zero))
+        piv_re = jnp.sum(jnp.where(iota_cr == j, row, zero))
+        piv_im = jnp.sum(jnp.where(iota_cr == j + bk, row, zero))
 
         den = jnp.maximum(piv_re * piv_re + piv_im * piv_im, 1e-38)
         pr, pi = piv_re / den, -piv_im / den
 
-        s_re = col_re * pr - col_im * pi               # C p^-1 (bk, 1)
+        s_re = col_re * pr - col_im * pi
         s_im = col_re * pi + col_im * pr
-        # packed products against row (see docstring): x * row with complex
-        # scalar-per-row s: s_re * row + s_im * (-sgn * row~)
         row_sw = swap(row)
-        sr = pr * row + pi * (-sgn * row_sw)           # R p^-1  (1, 2bk)
-        upd = s_re * row + s_im * (-sgn * row_sw)      # rank-1 outer
+        sr = pr * row + pi * (-sgn * row_sw)
+        upd = s_re * row + s_im * (-sgn * row_sw)
 
         new = m - upd
-        # panel column j: [-s_re | -s_im]
+        is_r = iota_r == j
         new = jnp.where(is_cre, -jnp.broadcast_to(s_re, (bk, 2 * bk)), new)
         new = jnp.where(is_cim, -jnp.broadcast_to(s_im, (bk, 2 * bk)), new)
-        # pivot row j: R p^-1, and p^-1 itself on the diagonal
         new = jnp.where(is_r, jnp.broadcast_to(sr, (bk, 2 * bk)), new)
         new = jnp.where(is_r & is_cre, pr, new)
         new = jnp.where(is_r & is_cim, pi, new)
-        return new
+        pv_ref[:] = new
+        return carry
 
-    m = jax.lax.fori_loop(0, bk, step, m)
-    return m[:, :bk], m[:, bk:]
+    jax.lax.fori_loop(0, bk, step, 0)
 
 
 def _factor_kernel(nxp: int, bk: int,
                    cur_re_ref, cur_im_ref, prev_re_ref, prev_im_ref,
                    g_re_ref, g_im_ref,
-                   gp_re_ref, gp_im_ref):
+                   gp_re_ref, gp_im_ref, pv_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -237,9 +232,11 @@ def _factor_kernel(nxp: int, bk: int,
     for k in range(nxp // bk):
         lo = k * bk
         hi = lo + bk
-        # pivot block inverse (scalar GJ on values)
-        pinv_re, pinv_im = _pivot_gj(g_re_ref[0, lo:hi, lo:hi],
-                                     g_im_ref[0, lo:hi, lo:hi], bk)
+        # pivot block inverse (scalar GJ, ref-carried for cheap row reads)
+        pv_ref[:, :bk] = g_re_ref[0, lo:hi, lo:hi]
+        pv_ref[:, bk:] = g_im_ref[0, lo:hi, lo:hi]
+        _pivot_gj_ref(pv_ref, bk)
+        pinv_re, pinv_im = pv_ref[:, :bk], pv_ref[:, bk:]
 
         r_re = g_re_ref[0, lo:hi, :]            # (bk, nxp) pivot rows
         r_im = g_im_ref[0, lo:hi, :]
@@ -325,6 +322,7 @@ def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
         scratch_shapes=[
             pltpu.VMEM((nxp, nxp), jnp.float32),
             pltpu.VMEM((nxp, nxp), jnp.float32),
+            pltpu.VMEM((bk, 2 * bk), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
