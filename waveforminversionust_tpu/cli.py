@@ -50,6 +50,15 @@ def _cmd_run(args):
         interpolation=args.interpolation)}
     if args.attenuation:
         acq_kwargs["attenuation"] = float(args.attenuation)  # expanded below
+    if args.live_plot:
+        # the reference's live redraw cadence (FrequencyDomainFWI.m:176-188)
+        from .fwi.runner import default_inversion_grid
+        acq_kwargs["live_every"] = args.live_every
+        acq_kwargs["live_callback"] = viz.make_live_plot_callback(
+            args.live_plot, grid or default_inversion_grid(), true_map=ds.c,
+            true_grid=(Grid2D.from_arrays(ds.x, ds.y)
+                       if ds.c is not None else None),
+            overwrite=not args.live_filmstrip)
     if args.profile:
         from .utils.profiling import trace
         with trace(args.profile):
@@ -161,6 +170,13 @@ def main(argv=None):
                     help="smoothing regularization weight (0-1, rel. to data gradient)")
     pr.add_argument("--reg-tv", type=float, default=0.0,
                     help="total-variation regularization weight")
+    pr.add_argument("--live-plot", default=None, metavar="DIR",
+                    help="redraw the reconstruction panel every "
+                         "--live-every iterations into DIR (the MATLAB "
+                         "driver's live-plot cadence)")
+    pr.add_argument("--live-every", type=int, default=1)
+    pr.add_argument("--live-filmstrip", action="store_true",
+                    help="keep one PNG per redraw instead of overwriting")
     pr.add_argument("--attenuation", type=float, default=0.0,
                     help="uniform known attenuation alpha [Np/m]")
     pr.set_defaults(fn=_cmd_run)
