@@ -336,3 +336,45 @@ def test_lbfgs_attenuation_inversion_recovers_alpha(setup):
     err0 = np.linalg.norm(alpha_true)
     err = np.linalg.norm(np.asarray(res.attenuation) - alpha_true)
     assert err < 0.8 * err0, (err, err0)
+
+
+def test_lbfgs_joint_velocity_alpha_inversion(setup):
+    """Joint (c, alpha) inversion: both maps move toward truth when both
+    are unknown (invert_velocity=True optimizes the concatenated
+    dimensionless parameters)."""
+    from waveforminversionust_tpu import AcquisitionConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.lbfgs import run_lbfgs_attenuation
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.models.acquisition import build_ring_acquisition
+    from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+    grid, solver, vel0_bg, _ = setup
+    acq_cfg = AcquisitionConfig(num_elements=12, radius=6e-3,
+                                num_excluded_each_side=1)
+    vel_true = np.asarray(smooth_blob_phantom(grid, radius=5e-3, dc=25,
+                                              c_bkgnd=C0), np.float32)
+    yy, xx = np.meshgrid(np.arange(grid.ny) - grid.ny / 2,
+                         np.arange(grid.nx) - grid.nx / 2, indexing="ij")
+    alpha_true = (70.0 * np.exp(-(yy ** 2 + xx ** 2) / 8.0 ** 2)
+                  ).astype(np.float32)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=F, solver=solver,
+                                 seed=4, attenuation=alpha_true)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, F)
+
+    vel0 = np.full(grid.shape, C0, np.float32)
+    res = run_lbfgs_attenuation(vel0, np.zeros(grid.shape, np.float32), data,
+                                grid, solver, num_iterations=10,
+                                invert_velocity=True, alpha_scale=50.0,
+                                velocity_scale=0.01)
+    losses = np.asarray(res.loss_history)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < 0.5 * losses[0], losses
+    verr0 = np.linalg.norm(vel0 - vel_true)
+    verr = np.linalg.norm(np.asarray(res.velocity) - vel_true)
+    aerr0 = np.linalg.norm(alpha_true)
+    aerr = np.linalg.norm(np.asarray(res.attenuation) - alpha_true)
+    assert verr < verr0, (verr, verr0)
+    assert aerr < aerr0, (aerr, aerr0)

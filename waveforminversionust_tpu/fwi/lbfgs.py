@@ -129,7 +129,8 @@ def run_lbfgs_attenuation(vel_init, alpha_init, data: FWIData, grid: Grid2D,
                           num_iterations: int = 10, memory_size: int = 10,
                           estimate_sources: bool = True,
                           invert_velocity: bool = False,
-                          alpha_scale: float = 50.0) -> AttenuationResult:
+                          alpha_scale: float = 50.0,
+                          velocity_scale: float = 0.01) -> AttenuationResult:
     """Turnkey attenuation inversion over the differentiable lossy solve.
 
     Recovers the alpha map [Np/m] (and, with ``invert_velocity=True``,
@@ -137,12 +138,18 @@ def run_lbfgs_attenuation(vel_init, alpha_init, data: FWIData, grid: Grid2D,
     solve with k = omega/c + i*sgn*alpha — the capability the framework's
     lossy physics enables and the reference cannot express at all (its
     solver is lossless; SURVEY.md preamble). Parameters are optimized in
-    dimensionless form (slowness relative to the start, alpha relative to
-    ``alpha_scale``) with a data-normalized misfit, for the same f32
-    linesearch reasons as :func:`run_lbfgs`. Alpha is kept non-negative
-    through a softplus-free clip at evaluation (physically alpha >= 0;
-    plain clipping keeps the objective piecewise-smooth and the optimizer
-    stable at the boundary).
+    dimensionless form with a data-normalized misfit, for the same f32
+    linesearch reasons as :func:`run_lbfgs`: alpha relative to
+    ``alpha_scale`` [Np/m], and (joint mode) slowness as
+    slow0 * (1 + velocity_scale * q) — ``velocity_scale`` sets the
+    expected speed CONTRAST so the two parameter blocks see comparable
+    gradient sensitivity (0.01 measured best on the ring fixture: both
+    maps improve; larger values let velocity absorb alpha's data error) (the misfit's phase term is far more sensitive to
+    slowness than its amplitude term is to alpha; an unscaled joint
+    problem lets L-BFGS dump the whole data error into velocity
+    crosstalk). Alpha is kept non-negative by a clip at evaluation
+    (physically alpha >= 0; clipping keeps the objective piecewise-smooth
+    and the optimizer stable at the boundary).
     """
     from ..ops.cpx import Cpx, abs2
 
@@ -158,8 +165,10 @@ def run_lbfgs_attenuation(vel_init, alpha_init, data: FWIData, grid: Grid2D,
 
     n_pix = slow0.size
 
+    vs = jnp.float32(velocity_scale)
+
     def unpack(p):
-        slow = (p[:n_pix] * slow_ref if invert_velocity else slow0)
+        slow = (slow0 * (1.0 + vs * p[:n_pix]) if invert_velocity else slow0)
         alpha = jnp.maximum(p[-n_pix:] * a_ref, 0.0)
         return slow.reshape(grid.shape), alpha.reshape(grid.shape)
 
@@ -169,7 +178,7 @@ def run_lbfgs_attenuation(vel_init, alpha_init, data: FWIData, grid: Grid2D,
         raw = fwi_loss(slow.ravel(), d, grid, solver, estimate_sources)
         return raw / data_norm
 
-    params0 = (jnp.concatenate([slow0 / slow_ref, alpha0 / a_ref])
+    params0 = (jnp.concatenate([jnp.zeros_like(slow0), alpha0 / a_ref])
                if invert_velocity else alpha0 / a_ref)
     opt = optax.lbfgs(memory_size=memory_size)
     opt_state0 = opt.init(params0)
