@@ -122,3 +122,27 @@ def test_nonsquare_grid_full_pipeline():
         cfg = SolverConfig(pml=PML, split_complex=split)
         u, info = solve_helmholtz(vel, src, F, grid, cfg)
         assert float(np.asarray(info.rel_residual).max()) < 1e-4
+
+
+def test_plot_time_snapshots_split_fields(tmp_path):
+    """plot_time_snapshots accepts split-complex (Cpx) wavefields — the
+    representation the TPU time-domain path returns (as_numpy_complex must
+    unpack Cpx, not stack its planes into a (2, ny, nx) pseudo-image)."""
+    from waveforminversionust_tpu import viz
+    from waveforminversionust_tpu.data.timedomain import TimeDomainResult
+
+    grid, _, _ = _tiny()
+    ny, nx = grid.shape
+    nt = 4
+    rng = np.random.default_rng(0)
+    fields = cpx.Cpx(
+        jnp.asarray(rng.standard_normal((nt, ny, nx)), jnp.float32),
+        jnp.asarray(rng.standard_normal((nt, ny, nx)), jnp.float32))
+    res = TimeDomainResult(
+        times=np.linspace(0, 1e-5, nt), freqs=np.array([3e5]),
+        wavefields_t=fields,
+        channel_data=rng.standard_normal((nt, 8)).astype(np.float32))
+    out = str(tmp_path / "td.png")
+    viz.plot_time_snapshots(grid, res, n_frames=3, path=out)
+    import os
+    assert os.path.exists(out)

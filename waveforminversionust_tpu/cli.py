@@ -17,6 +17,55 @@ import argparse
 import numpy as np
 
 
+def _run_alpha_inversion(args, ds, grid, solver, fwi):
+    """--method alpha/joint: attenuation(-and-velocity) inversion through
+    the differentiable lossy solve (no reference counterpart)."""
+    from .config import AcquisitionConfig
+    from .fwi.lbfgs import run_lbfgs_attenuation
+    from .fwi.objective import build_fwi_data
+    from .fwi.runner import default_inversion_grid
+    from .models.acquisition import build_ring_acquisition
+    from . import viz
+
+    grid = grid or default_inversion_grid()
+    acq = build_ring_acquisition(
+        grid, AcquisitionConfig(num_elements=args.elements or 256,
+                                radius=args.radius or 110e-3,
+                                num_excluded_each_side=args.exclude,
+                                interpolation=args.interpolation),
+        x_elem=ds.x_circ, y_elem=ds.y_circ)
+    from .ops.solve import auto_split
+    solver = auto_split(solver)
+    data = build_fwi_data(acq, ds.rec_data, ds.f,
+                          split=solver.split_complex)
+    vel0 = np.full(grid.shape, args.c_init, np.float32)
+    res = run_lbfgs_attenuation(vel0, np.zeros(grid.shape, np.float32),
+                                data, grid, solver,
+                                num_iterations=args.iterations,
+                                invert_velocity=args.method == "joint")
+    print("loss history:", np.array2string(np.asarray(res.loss_history),
+                                           precision=3))
+    print(f"alpha range: {float(np.min(res.attenuation)):.1f} .. "
+          f"{float(np.max(res.attenuation)):.1f} Np/m")
+    if args.out:
+        np.save(args.out, np.asarray(res.attenuation))
+        print("attenuation map written to", args.out)
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        n = 2 if args.method == "joint" else 1
+        fig, axs = plt.subplots(1, n, figsize=(5.5 * n, 4.5), squeeze=False)
+        viz.imagesc(axs[0, 0], grid, np.asarray(res.attenuation),
+                    cmap="magma", title="recovered alpha [Np/m]")
+        if n == 2:
+            viz.imagesc(axs[0, 1], grid, np.asarray(res.velocity),
+                        title="recovered velocity [m/s]")
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=110)
+        print("plots written to", args.plot)
+
+
 def _cmd_run(args):
     from .config import ContinuationConfig, FWIConfig, MomentumFormula, StepSizeFormula
     from .data.matio import load_recorded_dataset
@@ -48,6 +97,9 @@ def _cmd_run(args):
         radius=args.radius or 110e-3,
         num_excluded_each_side=args.exclude,
         interpolation=args.interpolation)}
+    if args.method in ("alpha", "joint"):
+        _run_alpha_inversion(args, ds, grid, solver, fwi)
+        return
     if args.attenuation:
         acq_kwargs["attenuation"] = float(args.attenuation)  # expanded below
     if args.live_plot:
@@ -140,7 +192,13 @@ def main(argv=None):
 
     pr = sub.add_parser("run", help="invert a recorded dataset")
     pr.add_argument("data", help=".mat file in the RecordedData schema")
-    pr.add_argument("--method", choices=["cg", "lbfgs"], default="cg")
+    pr.add_argument("--method", choices=["cg", "lbfgs", "alpha", "joint"],
+                    default="cg",
+                    help="cg/lbfgs invert velocity (reference paths); "
+                         "'alpha' inverts the attenuation map in a medium "
+                         "at --c-init, 'joint' inverts velocity and alpha "
+                         "together (framework additions; L-BFGS through "
+                         "the differentiable lossy solve)")
     pr.add_argument("--iterations", type=int, default=10)
     pr.add_argument("--c-init", type=float, default=1480.0)
     pr.add_argument("--momentum", type=int, default=4,

@@ -49,10 +49,15 @@ def _split_complex(x):
 
 
 def as_numpy_complex(x) -> np.ndarray:
-    """Fetch any of {ComplexParts, complex array, real array} to numpy."""
+    """Fetch any of {ComplexParts, Cpx, complex array, real array} to
+    numpy."""
     if isinstance(x, ComplexParts):
         return (np.asarray(jax.device_get(x.real))
                 + 1j * np.asarray(jax.device_get(x.imag)))
+    from ..ops.cpx import Cpx
+    if isinstance(x, Cpx):
+        return (np.asarray(jax.device_get(x.re))
+                + 1j * np.asarray(jax.device_get(x.im)))
     return fetch(x)
 
 
