@@ -232,7 +232,12 @@ def _factor_kernel(nxp: int, bk: int,
     for k in range(nxp // bk):
         lo = k * bk
         hi = lo + bk
-        # pivot block inverse (scalar GJ, ref-carried for cheap row reads)
+        # pivot block inverse (scalar GJ, ref-carried for cheap row reads).
+        # An MXU Newton-Schulz pivot was tried and REJECTED on measurement:
+        # interior pivots do converge in 9-15 iterations (cond 4-9), but an
+        # in-kernel (64, 64) dot costs ~0.5 us to issue, so ~136 dots per
+        # pivot lose 4x to the 14 us scalar GJ (whole kernel 39 -> 101 ms;
+        # measured on the real chip; see PERF_NOTES round 2).
         pv_ref[:, :bk] = g_re_ref[0, lo:hi, lo:hi]
         pv_ref[:, bk:] = g_im_ref[0, lo:hi, lo:hi]
         _pivot_gj_ref(pv_ref, bk)
