@@ -93,3 +93,22 @@ def test_cli_simulate_and_run(tmp_path):
           "--plot", str(tmp_path / "rec.png")])
     assert os.path.exists(tmp_path / "vel.npy")
     assert os.path.exists(tmp_path / "rec.png")
+
+
+def test_cli_alpha_inversion(tmp_path):
+    """--method alpha: the CLI attenuation-inversion path runs end to end
+    and writes the recovered map (framework addition; lossless reference)."""
+    from waveforminversionust_tpu.cli import main
+    data_path = str(tmp_path / "tiny.mat")
+    main(["simulate", data_path, "--xmax", "12e-3", "--dx", "0.4e-3",
+          "--elements", "12", "--radius", "4.5e-3", "--frequency", "200e3"])
+    main(["run", data_path, "--method", "alpha", "--iterations", "2",
+          "--grid-xmax", "12e-3", "--grid-dx", "0.8e-3",
+          "--elements", "12", "--radius", "4.5e-3", "--exclude", "1",
+          "--out", str(tmp_path / "alpha.npy"),
+          "--plot", str(tmp_path / "alpha.png")])
+    assert os.path.exists(tmp_path / "alpha.npy")
+    assert os.path.exists(tmp_path / "alpha.png")
+    import numpy as np
+    a = np.load(tmp_path / "alpha.npy")
+    assert a.shape == (31, 31) and np.all(np.isfinite(a))
