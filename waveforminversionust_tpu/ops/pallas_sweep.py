@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cpx import Cpx
+from .pallas_factor import _shift_cols_left, _shift_cols_right
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -55,16 +56,6 @@ def _gemv_h(zr, zi, gr, gi):
     d = lambda a, b: jax.lax.dot_general(a, b, dn, precision=_HI,
                                          preferred_element_type=jnp.float32)
     return d(zr, gr) + d(zi, gi), d(zi, gr) - d(zr, gi)
-
-
-def _shift_cols_left(m):
-    z = jnp.zeros((m.shape[0], 1), m.dtype)
-    return jnp.concatenate([m[:, 1:], z], axis=1)
-
-
-def _shift_cols_right(m):
-    z = jnp.zeros((m.shape[0], 1), m.dtype)
-    return jnp.concatenate([z, m[:, :-1]], axis=1)
 
 
 def _tri(m_re, m_im, s_re, s_im, p_re, p_im, wr, wi):

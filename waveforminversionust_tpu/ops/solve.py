@@ -43,7 +43,7 @@ from .cyclic import CRFactor, cr_factor_cpx, cr_solve_cpx
 from .preconditioner import (PrecondParams, make_fft_preconditioner,
                              make_fft_preconditioner_cpx, shifted_k2,
                              shifted_k2_cpx)
-from .split_engine import (BandedFactorCpx, adjoint_coefficients_cpx,
+from .split_engine import (adjoint_coefficients_cpx,
                            banded_factor_cpx, banded_solve_cpx,
                            born_series_solve_cpx, h_apply_adjoint_cpx,
                            h_apply_cpx, helmholtz_coefficients_cpx)
