@@ -463,3 +463,33 @@ class TestLiveCallback:
         np.testing.assert_allclose(
             np.asarray(res_live.metrics["loss"]),
             np.asarray(res_plain.metrics["loss"]), rtol=2e-5)
+
+
+class TestJointMultifreqRunner:
+    def test_runner_joint_multifreq(self, tmp_path):
+        """invert_dataset(method='joint-multifreq') inverts all frequencies
+        of a broadband mapping jointly and reduces the misfit."""
+        from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+        from waveforminversionust_tpu.fwi.runner import invert_dataset
+        from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                                 snap_to_grid)
+
+        coarse = Grid2D.centered(24e-3, 0.8e-3)
+        xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+        xi, yi = snap_to_grid(coarse, xe, ye)
+        xs, ys = coarse.x[xi], coarse.y[yi]
+        fine = Grid2D.centered(24e-3, 0.4e-3)
+        true_vel_f = smooth_blob_phantom(fine, radius=8e-3, dc=30,
+                                         c_bkgnd=C0)
+        rec = {}
+        for fq in (150e3, 250e3):
+            rec[fq] = synthesize_ring_dataset(true_vel_f, fine, ACQ, f=fq,
+                                              seed=3, solver=SOLVER,
+                                              x_elem=xs, y_elem=ys)
+        res = invert_dataset(rec, method="joint-multifreq", grid=coarse,
+                             acquisition=ACQ, solver=SOLVER,
+                             fwi=FWIConfig(num_iterations=4))
+        losses = np.asarray(res.metrics["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < 0.5 * losses[0], losses
+        assert res.frequencies == (150e3, 250e3)

@@ -56,7 +56,10 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         dataset: :class:`~..data.synthesize.RingDataset`.
         grid: reconstruction grid (defaults to the reference's 301x301).
         method: "cg" (nonlinear conjugate gradient, the reference's primary
-            path) or "lbfgs" (autodiff quasi-Newton).
+            path), "lbfgs" (autodiff quasi-Newton), or "joint-multifreq"
+            (all frequencies of a {frequency: dataset} mapping inverted
+            JOINTLY — summed misfits/gradients per iteration — instead of
+            warm-started sequential continuation).
         continuation: optional multi-frequency schedule; each stage runs
             ``iterations_per_frequency`` iterations at one frequency,
             warm-starting from the previous stage (low-to-high ordering
@@ -106,6 +109,28 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     # Auto-select the split-complex engine off-CPU (see ops.cpx), unless the
     # caller pinned it explicitly in the solver config.
     solver = auto_split(solver)
+
+    if method == "joint-multifreq":
+        # Joint inversion over ALL frequencies at once (summed misfits and
+        # gradients per iteration) — the alternative to warm-started
+        # sequential continuation; needs the {frequency: dataset} form.
+        if not per_freq:
+            raise ValueError("method='joint-multifreq' needs a "
+                             "{frequency: RingDataset} mapping")
+        from .multifreq import nonlinear_cg_multifreq, stack_frequencies
+        datas = [build_fwi_data(acq, dataset[f].rec_data, f,
+                                split=solver.split_complex,
+                                attenuation=attenuation)
+                 for f in sorted(dataset)]
+        mf = stack_frequencies(datas)
+        vel0 = jnp.full(grid.shape, fwi.c_init, jnp.float32)
+        vel, m = nonlinear_cg_multifreq(vel0, mf, grid, solver, fwi)
+        metrics = {f: np.asarray(getattr(m, f)) for f in CGMetrics._fields}
+        if callback is not None:
+            callback(0, tuple(sorted(dataset)), vel, m)
+        return InversionResult(velocity=np.asarray(vel), metrics=metrics,
+                               grid=grid,
+                               frequencies=tuple(sorted(dataset)))
 
     if continuation is None or not continuation.frequencies:
         stages = [(float(ds0.f), int(fwi.num_iterations))]

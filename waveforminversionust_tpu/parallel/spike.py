@@ -184,7 +184,14 @@ def _factor_local(c_local: Cpx, axis_name: str):
     lf = _dense_l_first(c_local)      # couples to slab idx-1 (forward op)
     ul = _dense_u_last(c_local)       # couples to slab idx+1
 
-    factor = banded_factor_cpx(c_int)
+    # Per-slab block-Thomas factorization: the fused Pallas kernel off-CPU
+    # (each device runs it on its own slab inside shard_map; validated
+    # single-chip in ops/pallas_factor) and the XLA scan on CPU meshes.
+    if jax.default_backend() != "cpu":
+        from ..ops.pallas_factor import banded_factor_pallas
+        factor = banded_factor_pallas(c_int)
+    else:
+        factor = banded_factor_cpx(c_int)
 
     # Forward spikes. First/last slab have no left/right coupling: lf/ul
     # are zero there by construction ONLY if the global planes are zero at
