@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import cpx
+
 from .cpx import Cpx
 
 # GJ panel width (MXU rank per update). Measured at 301^2 on the real
