@@ -43,9 +43,11 @@ def make_stage_checkpointer(directory: str):
     os.makedirs(directory, exist_ok=True)
 
     def callback(stage_idx, freq, velocity, stage_metrics):
+        # freq is a scalar for continuation stages and a tuple for the
+        # joint-multifrequency method's single stage
         save_state(os.path.join(directory, f"stage_{stage_idx:03d}"), {
             "velocity": np.asarray(jax.device_get(velocity)),
-            "frequency": np.float64(freq),
+            "frequency": np.asarray(freq, np.float64),
             "stage": np.int32(stage_idx),
         })
 
