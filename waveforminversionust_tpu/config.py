@@ -115,7 +115,10 @@ class SolverConfig:
     # XLA scan elsewhere; "thomas" = the XLA lax.scan block-Thomas;
     # "pallas" = force the fused kernel; "cr" = block cyclic reduction
     # (ops.cyclic — measured slower end-to-end on the targeted runtime,
-    # kept for batched-elimination reference).
+    # kept for batched-elimination reference); "spike" = the distributed
+    # grid-sharded SPIKE factorization (parallel.spike) — one y-slab per
+    # device on a mesh 'grid' axis; requires passing mesh= to the operator
+    # API / nonlinear_cg / invert_dataset, removes the one-chip grid limit.
     factorization: str = "auto"
     tol: float = 1e-5
     maxiter: int = 1000

@@ -118,8 +118,14 @@ def _step_size(formula: StepSizeFormula, drec, rec_obs, rec_sim, grad,
 
 
 def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
-                 fwi: FWIConfig):
-    """Build the jittable body of one CG iteration."""
+                 fwi: FWIConfig, mesh=None, grid_axis: str = "grid"):
+    """Build the jittable body of one CG iteration.
+
+    ``mesh``/``grid_axis`` (with ``solver.factorization == "spike"``) run
+    every Helmholtz factorization/solve grid-sharded over the mesh axis —
+    one y-slab per device (see parallel.spike) — so the inversion scales to
+    grids beyond one chip's HBM; the rest of the step (gathers, reductions,
+    model update) stays global-view and GSPMD inserts the collectives."""
     from .regularization import make_cg_regularizer
     regularize = make_cg_regularizer(grid, fwi)
 
@@ -141,7 +147,10 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # One operator build + factorization serves all 3 solves.
         op = make_helmholtz_operator(vel, data.f, grid, solver,
                                      attenuation=data.attenuation,
-                                     pml_fields=pml_fields)
+                                     pml_fields=pml_fields, mesh=mesh,
+                                     grid_axis=grid_axis)
+        solve = partial(helmholtz_operator_solve, mesh=mesh,
+                        grid_axis=grid_axis)
         alpha_signed = None
         if data.attenuation is not None:
             alpha_signed = (jnp.sign(jnp.float32(solver.pml.sign_convention))
@@ -149,7 +158,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 
         # (1) forward solve, all transmitters at once
         # (reference: nonlinearcg.py:76)
-        wv = helmholtz_operator_solve(op, data.src, grid, solver)
+        wv = solve(op, data.src, grid, solver)
         rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
 
         # (2) source-strength estimation (reference: nonlinearcg.py:79-89)
@@ -169,8 +178,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # (reference: nonlinearcg.py:93-125)
         adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x,
                                     grid.shape, data.rx_w)
-        adj_wv = helmholtz_operator_solve(op, adj_src, grid, solver,
-                                          adjoint=True)
+        adj_wv = solve(op, adj_src, grid, solver, adjoint=True)
 
         # (4) adjoint-state gradient (reference: nonlinearcg.py:118-127)
         virt = virtual_source(slow, wv, data.f, alpha_signed)
@@ -191,7 +199,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             pert_src = cpx.scale(virt, -sd_new[None])
         else:
             pert_src = -virt * sd_new[None].astype(jnp.complex64)
-        pert = helmholtz_operator_solve(op, pert_src, grid, solver)
+        pert = solve(op, pert_src, grid, solver)
         drec = sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
 
         # (7) step size & slowness update (reference: nonlinearcg.py:159,
@@ -223,13 +231,15 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
     return step
 
 
-@partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations"))
+@partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations",
+                                   "mesh", "grid_axis"))
 def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
                  solver: SolverConfig = SolverConfig(),
                  fwi: FWIConfig = FWIConfig(),
                  num_iterations: int | None = None,
                  init_search_dir=None, init_grad_prev=None,
-                 iteration_offset=0) -> CGResult:
+                 iteration_offset=0, mesh=None,
+                 grid_axis: str = "grid") -> CGResult:
     """Run the full nonlinear-CG inversion as one compiled scan.
 
     Mirrors the reference entry point ``nonlinear_conjugate_gradient``
@@ -246,6 +256,13 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
             a resumed run keeps the momentum semantics (beta = 0 only at the
             true first iteration). Pass a jnp scalar to reuse the compiled
             scan across resume chunks.
+        mesh / grid_axis: with ``solver.factorization == "spike"``, run the
+            whole inversion grid-sharded: every factorization/solve is the
+            distributed SPIKE elimination over ``mesh[grid_axis]`` (one
+            y-slab per device; see parallel.spike), so grids beyond one
+            chip's HBM invert end to end. ``grid.ny`` must be divisible by
+            the mesh axis size. Verified sharded == single-device in
+            tests/test_spike.py.
     """
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
@@ -264,7 +281,8 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
         wavefield=zfield,
         adjoint_field=zfield,
     )
-    step = make_cg_step(data, grid, solver, fwi)
+    step = make_cg_step(data, grid, solver, fwi, mesh=mesh,
+                        grid_axis=grid_axis)
     its = jnp.arange(n_iter) + jnp.asarray(iteration_offset, jnp.int32)
     final, metrics = jax.lax.scan(step, state, its)
     def _parts(fld):

@@ -49,7 +49,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                    checkpoint_every: int | None = None,
                    resume_from: str | None = None,
                    live_every: int | None = None,
-                   live_callback: Callable | None = None) -> InversionResult:
+                   live_callback: Callable | None = None,
+                   mesh=None, grid_axis: str = "grid") -> InversionResult:
     """Invert a RingDataset (loaded or synthesized).
 
     Args:
@@ -86,6 +87,12 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             iteration with the saved CG carry) and reproduces the
             uninterrupted trajectory. Returned metrics include the restored
             history of the interrupted stage onward.
+        mesh / grid_axis: with ``solver.factorization == "spike"`` (CG
+            method), the whole inversion runs grid-sharded over the mesh's
+            ``grid_axis`` — one y-slab of the reconstruction grid per device
+            (distributed SPIKE direct solves; see parallel.spike) — lifting
+            the single-chip grid-size limit. ``grid.ny`` must divide by the
+            mesh axis size.
         live_every / live_callback: the reference's live-plot cadence
             (FrequencyDomainFWI.m:176-188 redraws the reconstruction every
             iteration). ``live_callback(stage_idx, frequency, iteration,
@@ -98,6 +105,9 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     # reference schema is single-frequency; the mapping form feeds
     # multi-frequency continuation with true per-frequency recordings.
     per_freq = isinstance(dataset, dict)
+    if mesh is not None and method != "cg":
+        raise ValueError("grid-sharded (mesh=) inversion is implemented for "
+                         "the CG method")
     if attenuation is not None and np.ndim(attenuation) == 0:
         attenuation = (None if float(attenuation) == 0.0 else
                        np.full((grid or default_inversion_grid()).shape,
@@ -203,7 +213,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                 res = nonlinear_cg(vel, data, grid, solver, fwi,
                                    num_iterations=chunk,
                                    init_search_dir=sd, init_grad_prev=gp,
-                                   iteration_offset=jnp.int32(stage_it))
+                                   iteration_offset=jnp.int32(stage_it),
+                                   mesh=mesh, grid_axis=grid_axis)
                 vel = res.velocity
                 sd, gp = res.search_dir, res.gradient
                 parts.append(res.metrics)

@@ -372,12 +372,20 @@ class HelmholtzOperator(NamedTuple):
 def make_helmholtz_operator(vel, f, grid: Grid2D,
                             cfg: SolverConfig = SolverConfig(),
                             attenuation=None,
-                            pml_fields=None) -> HelmholtzOperator:
+                            pml_fields=None, mesh=None,
+                            grid_axis: str = "grid") -> HelmholtzOperator:
     """Build (and for the banded method, factorize) the operator once.
 
     With ``cfg.split_complex`` the planes and factorization are split-complex
     (Cpx float pairs; see ops.cpx) — required on TPU runtimes without full
     complex64 support. Only the banded and Born methods support split mode.
+
+    With ``cfg.factorization == "spike"`` (split banded only) the
+    factorization is the distributed SPIKE factor over ``mesh[grid_axis]``
+    (:mod:`..parallel.spike`): the grid's row axis is partitioned into one
+    slab per device, removing the single-chip memory/size limit on the
+    direct solve. Pass the same ``mesh``/``grid_axis`` to
+    :func:`helmholtz_operator_solve`.
     """
     if attenuation is not None and cfg.method == SolverMethod.BORN:
         raise NotImplementedError("attenuation is supported by the FD "
@@ -388,8 +396,20 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
         coeffs = helmholtz_coefficients_cpx(vel, grid, f, cfg.pml, cfg.stencil,
                                             attenuation=attenuation,
                                             pml_fields=pml_fields)
-        factor = (_factor_cpx(coeffs, cfg)
-                  if cfg.method == SolverMethod.BANDED else None)
+        if cfg.factorization == "spike":
+            if cfg.method != SolverMethod.BANDED:
+                raise ValueError("factorization='spike' requires the banded "
+                                 "method")
+            if mesh is None:
+                raise ValueError(
+                    "factorization='spike' is the grid-sharded direct solve: "
+                    "pass mesh= (with a grid_axis-named axis) to "
+                    "make_helmholtz_operator / nonlinear_cg")
+            from ..parallel.spike import spike_factor
+            factor = spike_factor(coeffs, mesh, grid_axis)
+        else:
+            factor = (_factor_cpx(coeffs, cfg)
+                      if cfg.method == SolverMethod.BANDED else None)
         precond = (_split_precond_params(vel, f, grid, cfg)
                    if cfg.method == SolverMethod.GMRES else None)
     else:
@@ -405,15 +425,18 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
 
 def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
                              cfg: SolverConfig = SolverConfig(),
-                             adjoint: bool = False, x0=None):
+                             adjoint: bool = False, x0=None, mesh=None,
+                             grid_axis: str = "grid"):
     """Solve H u = src (or H^H u = src) with a prepared operator.
 
     Non-differentiable fast path for hand-derived-gradient optimizers (the
     reference's CG loop); use :func:`solve_helmholtz` when autodiff through
-    the solve is needed.
+    the solve is needed. For a SPIKE (grid-sharded) operator, pass the same
+    ``mesh``/``grid_axis`` the factor was built with.
     """
     if cfg.split_complex:
-        return _operator_solve_split(op, src, grid, cfg, adjoint)
+        return _operator_solve_split(op, src, grid, cfg, adjoint, mesh,
+                                     grid_axis)
     src = jnp.asarray(src, jnp.complex64)
     single = src.ndim == 2
     if single:
@@ -458,6 +481,12 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
     Hybrid options (Schulz warm starts, fast_sweeps) force the scan path.
     """
     mode = cfg.factorization
+    if mode == "spike":
+        raise ValueError(
+            "factorization='spike' (grid-sharded) is available through the "
+            "operator API only: make_helmholtz_operator(..., mesh=...) / "
+            "helmholtz_operator_solve(..., mesh=...) or "
+            "nonlinear_cg(..., mesh=...)")
     if mode == "auto":
         use_pallas = (jax.default_backend() != "cpu"
                       and cfg.factor_schulz_steps <= 0
@@ -517,7 +546,8 @@ def _split_precond_params(vel, f, grid: Grid2D, cfg: SolverConfig,
 
 
 def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
-                          cfg: SolverConfig, adjoint: bool) -> Cpx:
+                          cfg: SolverConfig, adjoint: bool, mesh=None,
+                          grid_axis: str = "grid") -> Cpx:
     """Split-complex operator solve (banded method)."""
     src = cpxlib.of(src)
     single = src.ndim == 2
@@ -529,8 +559,20 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
                                      iter_cap=cfg.born_iter_cap,
                                      iter_scale=cfg.born_iter_scale)
     elif cfg.method == SolverMethod.BANDED:
+        from ..parallel.spike import SpikeFactor, spike_solve
         rhs = src if adjoint else cpxlib.scale(src, op.d_map)
-        u = _banded_solve_refined_cpx(op.factor, rhs, cfg, adjoint=adjoint)
+        if isinstance(op.factor, SpikeFactor):
+            if mesh is None:
+                raise ValueError("SPIKE operator solve needs the mesh the "
+                                 "factor was built on (pass mesh=)")
+            # The SPIKE solve is algebraically the same elimination as the
+            # block-Thomas path (tests/test_spike.py pins sharded==Thomas to
+            # <1e-4), so the refine ladder is unnecessary; cfg.refine is
+            # ignored here.
+            u = spike_solve(op.factor, rhs, mesh, grid_axis, adjoint=adjoint)
+        else:
+            u = _banded_solve_refined_cpx(op.factor, rhs, cfg,
+                                          adjoint=adjoint)
         if adjoint:
             u = cpxlib.scale(u, op.d_map)
     elif cfg.method == SolverMethod.GMRES:

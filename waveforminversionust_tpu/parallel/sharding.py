@@ -35,6 +35,44 @@ def shot_mesh(devices=None, axis_name: str = "shot") -> Mesh:
     return Mesh(devices, (axis_name,))
 
 
+def grid_mesh(devices=None, axis_name: str = "grid") -> Mesh:
+    """1D mesh over all (or given) devices for grid (y-slab) domain
+    decomposition — the axis the SPIKE direct solver shards over
+    (see parallel.spike; pass to ``nonlinear_cg(..., mesh=...)`` with
+    ``SolverConfig(factorization="spike")``)."""
+    devices = np.array(jax.devices() if devices is None else devices)
+    return Mesh(devices, (axis_name,))
+
+
+def shard_fwi_data_grid(data: FWIData, mesh: Mesh,
+                        axis_name: str = "grid") -> FWIData:
+    """Place FWIData for a grid-sharded (SPIKE) inversion: the (ntx, ny, nx)
+    source fields shard along their row axis (dim 1, matching the y-slab
+    decomposition), everything else replicates (the receiver index arrays
+    are tiny; the gathers/scatters against sharded fields lower to
+    collectives under GSPMD)."""
+    rows = NamedSharding(mesh, P(None, axis_name))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        if x is None:
+            return None
+        if isinstance(x, Cpx):
+            return Cpx(jax.device_put(x.re, sharding),
+                       jax.device_put(x.im, sharding))
+        return jax.device_put(x, sharding)
+
+    return data._replace(
+        src=put(data.src, rows),
+        rec_obs=put(data.rec_obs, rep),
+        rx_y=put(data.rx_y, rep),
+        rx_x=put(data.rx_x, rep),
+        rx_w=put(data.rx_w, rep),
+        f=put(data.f, rep),
+        attenuation=put(data.attenuation, rep),
+    )
+
+
 def shot_freq_mesh(n_shot: int, n_freq: int, devices=None) -> Mesh:
     """2D (shot, freq) mesh."""
     devices = np.array(jax.devices() if devices is None else devices)
