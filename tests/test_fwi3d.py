@@ -100,6 +100,91 @@ def test_gradient_matches_finite_differences():
         assert an == pytest.approx(fd, rel=7e-2, abs=1e-12 + 0.02 * abs(fd)), p
 
 
+def test_3d_lossy_forward_attenuates():
+    """3D CBS with an attenuation map: a uniform lossy medium damps the
+    transmitted field relative to lossless, the damping grows with alpha,
+    and the lossless limit alpha=0 is exact (mirrors the 2D attenuation
+    tests; k = omega/c + i*sgn*alpha is engine-agnostic)."""
+    grid, acq, vel_true, data = _problem()
+    vel = jnp.full(grid.shape, C0, jnp.float32)
+    src = data.src
+    u0, _ = born_series_solve_3d(vel, src, F, grid, PML, iter_cap=ITER_CAP)
+    uz, _ = born_series_solve_3d(vel, src, F, grid, PML, iter_cap=ITER_CAP,
+                                 attenuation=jnp.zeros(grid.shape))
+    np.testing.assert_allclose(cpx.to_numpy(uz), cpx.to_numpy(u0),
+                               rtol=0, atol=1e-7)
+    amps = []
+    for alpha in (20.0, 60.0):
+        ua, _ = born_series_solve_3d(vel, src, F, grid, PML,
+                                     iter_cap=ITER_CAP,
+                                     attenuation=jnp.full(grid.shape, alpha))
+        rec = sample_receivers_3d(ua, data.rx_idx)
+        amps.append(float(np.mean(np.abs(cpx.to_numpy(rec)))))
+    rec0 = sample_receivers_3d(u0, data.rx_idx)
+    a0 = float(np.mean(np.abs(cpx.to_numpy(rec0))))
+    assert amps[0] < 0.9 * a0, (amps, a0)
+    assert amps[1] < amps[0], (amps, a0)
+
+
+def test_3d_lossy_gradient_matches_finite_differences():
+    """The lossy 3D Frechet factor (2 omega^2 slow + 2 i omega sgn alpha)
+    gives an adjoint-state gradient matching finite differences in a fixed
+    attenuating medium."""
+    import jax
+
+    grid, acq, vel_true, data0 = _problem()
+    alpha = jnp.full(grid.shape, 30.0, jnp.float32)
+    # observed data in the lossy medium at the true model
+    src = data0.src
+    wv, _ = born_series_solve_3d(vel_true, src, F, grid, PML,
+                                 iter_cap=ITER_CAP, attenuation=alpha)
+    rec_obs = sample_receivers_3d(wv, data0.rx_idx)
+    data = FWIData3D(src=src, rec_obs=rec_obs, rx_idx=data0.rx_idx,
+                     f=data0.f, attenuation=alpha)
+    vel = jnp.full(grid.shape, C0, jnp.float32)
+    slow = 1.0 / vel
+
+    def loss_of_slow(s):
+        v = 1.0 / s
+        u, _ = born_series_solve_3d(v, src, data.f, grid, PML,
+                                    iter_cap=ITER_CAP, attenuation=alpha)
+        rec = sample_receivers_3d(u, data.rx_idx)
+        d = rec - data.rec_obs
+        return 0.5 * jnp.sum(d.re ** 2 + d.im ** 2)
+
+    loss, grad, _, _ = objective_pieces_3d(vel, slow, data, grid, PML,
+                                           ITER_CAP, estimate_source=False)
+    loss_fn = jax.jit(loss_of_slow)
+    assert float(loss) == pytest.approx(float(loss_fn(slow)), rel=1e-5)
+    nz, ny, nx = grid.shape
+    eps = 1e-3 / C0
+    for p in [(nz // 2, ny // 2, nx // 2), (nz // 2, ny // 2 + 2, nx // 2)]:
+        sp = slow.at[p].add(eps)
+        sm = slow.at[p].add(-eps)
+        fd = (float(loss_fn(sp)) - float(loss_fn(sm))) / (2 * eps)
+        an = float(grad[p])
+        assert an == pytest.approx(fd, rel=7e-2, abs=1e-12 + 0.02 * abs(fd)), p
+
+
+def test_3d_all_momentum_and_step_formulas_run():
+    """The full 5x3 momentum x step-size matrix runs in the 3D CG loop
+    (mirrors test_fwi.py::test_all_momentum_formulas_run; reference matrix:
+    FrequencyDomainFWI.m:36-45)."""
+    from waveforminversionust_tpu.config import MomentumFormula, StepSizeFormula
+
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    for mom in MomentumFormula:
+        for stp in StepSizeFormula:
+            fwi = FWIConfig(num_iterations=1, momentum=mom, step_size=stp,
+                            estimate_source_strength=False,
+                            clip_velocity=(C0 - 100.0, C0 + 100.0))
+            vel, metrics = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                           iter_cap=120)
+            assert np.all(np.isfinite(np.asarray(metrics.loss))), (mom, stp)
+            assert np.all(np.isfinite(np.asarray(vel))), (mom, stp)
+
+
 def test_tiny_3d_inversion_reduces_misfit():
     grid, acq, vel_true, data = _problem()
     vel0 = jnp.full(grid.shape, C0, jnp.float32)

@@ -281,6 +281,38 @@ class TestGmresSplit:
             rel = np.linalg.norm(u_g - u_b) / np.linalg.norm(u_b)
             assert rel < tol, (adjoint, rel)
 
+    def test_two_level_gmres_matches_banded(self):
+        """The two-level (deflated coarse-grid) GMRES preconditioner
+        converges to the banded direct solution, forward and adjoint
+        (SolverConfig.gmres_two_level; see
+        preconditioner.make_two_level_preconditioner_cpx for the masking
+        rules the coarse correction needs — border scale mismatch and the
+        PML mismatch both amplify without them)."""
+        import dataclasses
+        from waveforminversionust_tpu.ops import cpx
+        from waveforminversionust_tpu.ops.stencil import boundary_mask
+
+        grid, vel, src = self._setup()
+        cfg_2 = SolverConfig(method=SolverMethod.GMRES, tol=1e-5,
+                             maxiter=4000, split_complex=True,
+                             gmres_two_level=True)
+        cfg_b = dataclasses.replace(cfg_2, method=SolverMethod.BANDED)
+        op_2 = make_helmholtz_operator(vel, F, grid, cfg_2)
+        assert op_2.factor is not None  # carries the coarse factor
+        op_b = make_helmholtz_operator(vel, F, grid, cfg_b)
+        interior = ~(np.asarray(boundary_mask(grid)) > 0)
+        for adjoint, tol in ((False, 5e-3), (True, 5e-2)):
+            u_2 = cpx.to_numpy(helmholtz_operator_solve(op_2, src, grid,
+                                                        cfg_2,
+                                                        adjoint=adjoint))
+            u_b = cpx.to_numpy(helmholtz_operator_solve(op_b, src, grid,
+                                                        cfg_b,
+                                                        adjoint=adjoint))
+            if adjoint:
+                u_2, u_b = u_2[:, interior], u_b[:, interior]
+            rel = np.linalg.norm(u_2 - u_b) / np.linalg.norm(u_b)
+            assert rel < tol, (adjoint, rel)
+
     def test_split_gmres_gradient_matches_banded(self):
         """grad through the split GMRES custom VJP == grad through the split
         banded custom VJP (same discrete system, FD-validated elsewhere)."""

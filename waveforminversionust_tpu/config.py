@@ -123,6 +123,18 @@ class SolverConfig:
     tol: float = 1e-5
     maxiter: int = 1000
     shift_beta: float = 0.5
+    # Two-level (deflated) shifted-Laplacian preconditioning for the GMRES
+    # method (split engine): adds a direct coarse-grid correction on the
+    # re-discretized 2h operator before the FFT sweep, deflating the
+    # near-resonant modes that make one-level iteration counts grow with
+    # wavenumber (ops.preconditioner.make_two_level_preconditioner_cpx;
+    # measured matvec counts in PERF_NOTES round 3). Needs odd grid dims.
+    gmres_two_level: bool = False
+    # Complex shift (fraction of k^2) of the two-level COARSE operator:
+    # the raw coarse Helmholtz is indefinite with near-singular modes at
+    # different wavenumbers than the fine operator; a small shift keeps
+    # the coarse resolvent bounded (see solve._coarse_factor_cpx).
+    coarse_shift_beta: float = 0.1
     refine: int = 0  # iterative-refinement passes after a banded solve
     # (0 suffices at f32 contraction precision: ~3e-6 true relative residual
     # measured at the reference 301^2/256-tx workload on TPU and CPU)

@@ -31,7 +31,7 @@ from ..ops import cpx
 from ..ops.born3d import born_series_solve_3d
 from ..ops.cpx import Cpx
 from .objective import estimate_source_strengths, misfit
-from .optimizers import CGMetrics, _momentum, _re_inner
+from .optimizers import CGMetrics, _momentum, _step_size
 
 
 class FWIData3D(NamedTuple):
@@ -39,15 +39,21 @@ class FWIData3D(NamedTuple):
     rec_obs: Cpx       # (ntx, n_active) observed receiver pressures
     rx_idx: jnp.ndarray  # (ntx, n_active, 3) int32 receiver voxels
     f: jnp.ndarray     # scalar frequency [Hz]
+    # Known attenuation map alpha [Np/m] of the medium, or None (lossless)
+    # — velocity is inverted IN this fixed lossy medium, mirroring the 2D
+    # engine (objective.FWIData.attenuation / ops.born3d).
+    attenuation: jnp.ndarray | None = None
 
 
 def build_fwi_data_3d(acq: Acquisition3D, rec_obs, f,
-                      grid: Grid3D) -> FWIData3D:
+                      grid: Grid3D, attenuation=None) -> FWIData3D:
     src = source_fields_3d(acq, grid)
     rec = rec_obs if isinstance(rec_obs, Cpx) else cpx.of(jnp.asarray(rec_obs))
     return FWIData3D(src=src, rec_obs=rec,
                      rx_idx=jnp.asarray(acq.rx_idx, jnp.int32),
-                     f=jnp.asarray(f, jnp.float32))
+                     f=jnp.asarray(f, jnp.float32),
+                     attenuation=(None if attenuation is None else
+                                  jnp.asarray(attenuation, jnp.float32)))
 
 
 def sample_receivers_3d(fields: Cpx, rx_idx) -> Cpx:
@@ -77,7 +83,8 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     with the lossless 3D Frechet factor 2 omega^2 slow.
     """
     wv, _ = born_series_solve_3d(vel, data.src, data.f, grid, pml,
-                                 iter_cap=iter_cap)
+                                 iter_cap=iter_cap,
+                                 attenuation=data.attenuation)
     rec_sim = sample_receivers_3d(wv, data.rx_idx)
     if estimate_source:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)
@@ -89,9 +96,19 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
 
     adj_src = scatter_to_volumes_3d(residual, data.rx_idx, grid.shape)
     adj_wv, _ = born_series_solve_3d(vel, adj_src, data.f, grid, pml,
-                                     adjoint=True, iter_cap=iter_cap)
+                                     adjoint=True, iter_cap=iter_cap,
+                                     attenuation=data.attenuation)
     omega = 2 * jnp.pi * data.f
-    virt = cpx.scale(wv, (2 * omega ** 2 * slow)[None])
+    # Lossy Frechet factor dk^2/dslow = 2 omega (omega slow + i sgn alpha)
+    # — identical to the 2D objective.virtual_source.
+    fr = (2 * omega ** 2 * slow)[None]
+    if data.attenuation is None:
+        virt = cpx.scale(wv, fr)
+    else:
+        fi = (2 * omega * jnp.sign(jnp.float32(pml.sign_convention))
+              * data.attenuation)[None]
+        virt = cpx.mul(wv, Cpx(jnp.broadcast_to(fr, wv.re.shape),
+                               jnp.broadcast_to(fi, wv.im.shape)))
     grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
     return loss, grad, virt, rec_sim
 
@@ -124,11 +141,13 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
         # -virt * sd (reference: nonlinearcg.py:140-159).
         pert_src = cpx.mul(virt, Cpx(-sd_new[None], jnp.zeros_like(sd_new)[None]))
         pert, _ = born_series_solve_3d(vel, pert_src, data.f, grid, pml,
-                                       iter_cap=iter_cap)
+                                       iter_cap=iter_cap,
+                                       attenuation=data.attenuation)
         drec = sample_receivers_3d(pert, data.rx_idx)
-        num = _re_inner(drec, data.rec_obs - rec_sim)
-        den = _re_inner(drec, drec) + fwi.eps_stabilizer
-        step_sz = num / den
+        # Full 3-formula step matrix, shared with the 2D loop (reference:
+        # FrequencyDomainFWI.m:42-45, 149-172).
+        step_sz = _step_size(fwi.step_size, drec, data.rec_obs, rec_sim,
+                             grad, sd_new, fwi.eps_stabilizer)
 
         slow_new = slow + step_sz * sd_new
         vel_new = 1.0 / slow_new

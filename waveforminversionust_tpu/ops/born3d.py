@@ -38,8 +38,16 @@ def _ifft3(x: Cpx) -> Cpx:
 
 
 def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
-                     adjoint: bool = False, n_order: int = 9):
-    """3D CBS split: k-space Green's function, potential, preconditioner."""
+                     adjoint: bool = False, n_order: int = 9,
+                     attenuation=None):
+    """3D CBS split: k-space Green's function, potential, preconditioner.
+
+    ``attenuation``: optional (nz, ny, nx) alpha map [Np/m] for lossy
+    media — k = omega/c + i*sgn*alpha exactly as in the 2D engines
+    (stencil.helmholtz_coefficients; the wavenumber is engine-agnostic),
+    so k^2 gains Re -= alpha^2 and Im += 2*sgn*alpha*omega/c. The adjoint
+    operator is the conjugate (complex-symmetric CBS), handled by the same
+    ``sign`` flip as the absorbing shell."""
     nz, ny, nx = grid.shape
     sign = float(pml.sign_convention) * (-1.0 if adjoint else 1.0)
 
@@ -70,7 +78,12 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
     denom = math.factorial(n_order) * trunc_exp
     curve = Cpx((c_att ** 2) * (n_order - cr) * cr ** (n_order - 1) / denom,
                 (c_att ** 2) * (2 * k0_b * r_b * sign) * cr ** (n_order - 1) / denom)
-    k2 = Cpx(k_real ** 2 + curve.re, curve.im)
+    if attenuation is not None:
+        alpha = jnp.asarray(attenuation, jnp.float32)
+        k2 = Cpx(k_real ** 2 - alpha ** 2 + curve.re,
+                 curve.im + 2 * sign * alpha * k_real)
+    else:
+        k2 = Cpx(k_real ** 2 + curve.re, curve.im)
     k = cpx.sqrt(k2)
 
     k_0 = (jnp.min(k.re) + jnp.max(k.re)) / 2
@@ -93,19 +106,23 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
 def born_series_solve_3d(vel, src, f, grid: Grid3D,
                          pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
                          adjoint: bool = False, n_order: int = 9,
-                         iter_cap: int = 2000, iter_scale: float = 1.0):
+                         iter_cap: int = 2000, iter_scale: float = 1.0,
+                         attenuation=None):
     """Solve the 3D Helmholtz equation by convergent Born series.
 
     Args:
         vel: (nz, ny, nx) wave-speed volume [m/s].
         src: (batch, nz, ny, nx) complex sources (array or Cpx).
         f: frequency [Hz].
+        attenuation: optional (nz, ny, nx) alpha [Np/m] lossy-medium map
+            (see born_operator_3d).
 
     Returns:
         (wavefield Cpx (batch, nz, ny, nx), iterations int32)
     """
     greens, v_pot, gamma, n_heur = born_operator_3d(vel, f, grid, pml,
-                                                    adjoint, n_order)
+                                                    adjoint, n_order,
+                                                    attenuation=attenuation)
     n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
     src = cpx.of(src)
 

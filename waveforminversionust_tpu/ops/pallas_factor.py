@@ -49,13 +49,15 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, precision=_HI, preferred_element_type=jnp.float32)
+def _dot(a, b, precision=_HI):
+    return jnp.dot(a, b, precision=precision,
+                   preferred_element_type=jnp.float32)
 
 
-def _cdot(ar, ai, br, bi):
+def _cdot(ar, ai, br, bi, precision=_HI):
     """Complex matmul from real parts (4 MXU dots)."""
-    return (_dot(ar, br) - _dot(ai, bi), _dot(ar, bi) + _dot(ai, br))
+    return (_dot(ar, br, precision) - _dot(ai, bi, precision),
+            _dot(ar, bi, precision) + _dot(ai, br, precision))
 
 
 def _shift_cols_left(m):
@@ -134,20 +136,87 @@ def _pivot_gj_ref(pv_ref, bk: int):
         sr = pr * row + pi * (-sgn * row_sw)
         upd = s_re * row + s_im * (-sgn * row_sw)
 
+        # Patch the (j, j) entries into the small scaled-row vector FIRST
+        # (two single-vreg selects), so the full-size writes below need no
+        # is_r & is_c* mask combinations (2 ANDs + 2 (bk, 2bk) selects
+        # fewer per step; measured on the real chip at 301^2: 33.1 vs
+        # 32.7 ms — NEUTRAL, the loop is bound by its serial dependency
+        # chain, not op count at this margin; kept for the smaller code).
+        sr = jnp.where(iota_cr == j, pr, sr)
+        sr = jnp.where(iota_cr == j + bk, pi, sr)
+
         new = m - upd
         is_r = iota_r == j
         new = jnp.where(is_cre, -jnp.broadcast_to(s_re, (bk, 2 * bk)), new)
         new = jnp.where(is_cim, -jnp.broadcast_to(s_im, (bk, 2 * bk)), new)
         new = jnp.where(is_r, jnp.broadcast_to(sr, (bk, 2 * bk)), new)
-        new = jnp.where(is_r & is_cre, pr, new)
-        new = jnp.where(is_r & is_cim, pi, new)
         pv_ref[:] = new
         return carry
 
     jax.lax.fori_loop(0, bk, step, 0)
 
 
-def _factor_kernel(nxp: int, bk: int,
+def _pivot_gj_folded_ref(pv_ref, bk: int):
+    """Folded pivot GJ: the cancellation-safe pivot-row/column/diagonal
+    overwrites of :func:`_pivot_gj_ref` are algebraically identical to ONE
+    rank-1 update with shifted vectors,
+
+        new = m - (col - e_j) (x) ((row + e_j) / piv),
+
+    (check: new[j,j] = piv - (piv-1)(1+1/piv) = 1/piv; new[j,c] = row[c]/piv;
+    new[r,j] = -col[r]/piv) — which removes all five masked overwrite
+    selects from the 64-step sequential loop whose cost is pure VPU
+    op-issue latency (PERF_NOTES round 2: ~23 ms of the 39-41 ms kernel).
+
+    Numerics: the folded identities compute the pivot row/col as
+    differences of nearly equal terms when |piv| >> 1 (relative error
+    ~eps*|piv|), so the caller must hand in a pivot block pre-scaled to
+    O(1) magnitude (see the per-panel max-abs normalization at the call
+    site; the planes are row-balanced to ~1/h^2 ~ 1e6, which would
+    otherwise lose ~6 digits).
+
+    MEASURED AND REJECTED as the default (real chip, 301^2, interleaved
+    A/B, relay RTT 27.7 ms subtracted): safe overwrite form 32.7 ms,
+    folded 38.6 ms kernel-only; end-to-end bench 0.0717 vs 0.0652 s/iter.
+    The five removed selects are single cheap VPU ops on materialized
+    masks, while the fold adds a second (1, 2bk) lane roll, extra mask
+    builds, and the per-panel max-abs pre-scaling — a net ~5 op/step LOSS.
+    G parity vs the safe form on the real planes: 1.6e-06. Kept as an
+    opt-in (folded=True) record of the measurement."""
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, 2 * bk), 1)
+    iota_cr = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * bk), 1)
+    iota_rc = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+    sgn = jnp.where(iota_c < bk, 1.0, -1.0).astype(jnp.float32)
+    zero = jnp.float32(0.0)
+
+    def swap(x):
+        return pltpu.roll(x, bk, 1)
+
+    def step(j, carry):
+        m = pv_ref[:]
+        row = pv_ref[pl.ds(j, 1), :]                   # (1, 2bk)
+        is_cre = iota_c == j
+        is_cim = iota_c == j + bk
+        col_re = jnp.sum(jnp.where(is_cre, m, zero), 1, keepdims=True)
+        col_im = jnp.sum(jnp.where(is_cim, m, zero), 1, keepdims=True)
+        onehot_r = jnp.where(iota_cr == j, 1.0, zero)  # (1, 2bk), re lane j
+        piv_re = jnp.sum(onehot_r * row)
+        piv_im = jnp.sum(jnp.where(iota_cr == j + bk, row, zero))
+
+        den = jnp.maximum(piv_re * piv_re + piv_im * piv_im, 1e-38)
+        pr, pi = piv_re / den, -piv_im / den
+
+        cp_re = col_re - jnp.where(iota_rc == j, 1.0, zero)  # col - e_j
+        rowp = row + onehot_r                                # row + e_j
+        rp = pr * rowp + pi * (-sgn * swap(rowp))            # (row+e_j)/piv
+        upd = cp_re * rp + col_im * (-sgn * swap(rp))
+        pv_ref[:] = m - upd
+        return carry
+
+    jax.lax.fori_loop(0, bk, step, 0)
+
+
+def _factor_kernel(nxp: int, bk: int, folded: bool, panel_precision,
                    cur_re_ref, cur_im_ref, prev_re_ref, prev_im_ref,
                    g_re_ref, g_im_ref,
                    gp_re_ref, gp_im_ref, pv_ref):
@@ -238,10 +307,25 @@ def _factor_kernel(nxp: int, bk: int,
         # in-kernel (64, 64) dot costs ~0.5 us to issue, so ~136 dots per
         # pivot lose 4x to the 14 us scalar GJ (whole kernel 39 -> 101 ms;
         # measured on the real chip; see PERF_NOTES round 2).
-        pv_ref[:, :bk] = g_re_ref[0, lo:hi, lo:hi]
-        pv_ref[:, bk:] = g_im_ref[0, lo:hi, lo:hi]
-        _pivot_gj_ref(pv_ref, bk)
-        pinv_re, pinv_im = pv_ref[:, :bk], pv_ref[:, bk:]
+        if folded:
+            # Pre-scale the pivot block to O(1) so the folded GJ's implicit
+            # pivot-row/col differences stay cancellation-free (see
+            # _pivot_gj_folded_ref); inv(s M) = inv(M) / s.
+            blk_re = g_re_ref[0, lo:hi, lo:hi]
+            blk_im = g_im_ref[0, lo:hi, lo:hi]
+            s = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(blk_re)),
+                                        jnp.max(jnp.abs(blk_im))), 1e-38)
+            inv_s = 1.0 / s
+            pv_ref[:, :bk] = blk_re * inv_s
+            pv_ref[:, bk:] = blk_im * inv_s
+            _pivot_gj_folded_ref(pv_ref, bk)
+            pinv_re = pv_ref[:, :bk] * inv_s
+            pinv_im = pv_ref[:, bk:] * inv_s
+        else:
+            pv_ref[:, :bk] = g_re_ref[0, lo:hi, lo:hi]
+            pv_ref[:, bk:] = g_im_ref[0, lo:hi, lo:hi]
+            _pivot_gj_ref(pv_ref, bk)
+            pinv_re, pinv_im = pv_ref[:, :bk], pv_ref[:, bk:]
 
         r_re = g_re_ref[0, lo:hi, :]            # (bk, nxp) pivot rows
         r_im = g_im_ref[0, lo:hi, :]
@@ -251,10 +335,11 @@ def _factor_kernel(nxp: int, bk: int,
         cz_re = jnp.where(in_piv, 0.0, c_re)    # pivot rows zeroed
         cz_im = jnp.where(in_piv, 0.0, c_im)
 
-        rs_re, rs_im = _cdot(pinv_re, pinv_im, r_re, r_im)    # P^-1 R
-        cs_re, cs_im = _cdot(cz_re, cz_im, pinv_re, pinv_im)  # C P^-1
+        pp = panel_precision
+        rs_re, rs_im = _cdot(pinv_re, pinv_im, r_re, r_im, pp)    # P^-1 R
+        cs_re, cs_im = _cdot(cz_re, cz_im, pinv_re, pinv_im, pp)  # C P^-1
 
-        u_re, u_im = _cdot(cz_re, cz_im, rs_re, rs_im)        # rank-bk update
+        u_re, u_im = _cdot(cz_re, cz_im, rs_re, rs_im, pp)   # rank-bk update
         w_re = g_re_ref[0] - u_re
         w_im = g_im_ref[0] - u_im
         g_re_ref[0] = w_re
@@ -283,15 +368,24 @@ def _factor_kernel(nxp: int, bk: int,
     gp_im_ref[:] = g_im_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bk"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bk", "folded",
+                                             "crop", "panel_precision"))
 def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
-                    bk: int = _BK) -> Cpx:
+                    bk: int = _BK, folded: bool = False,
+                    crop: bool = True, panel_precision=_HI) -> Cpx:
     """All (ny, nx, nx) Schur-complement inverses G in one fused kernel.
 
     ``coeffs``: the 9 split-complex coefficient planes (9, ny, nx). The x
     dimension is padded to a multiple of the GJ panel width ``bk`` with
     identity rows (D main plane = 1, all couplings 0), which the
     elimination inverts exactly; the result is cropped back.
+
+    ``crop=False`` skips materializing the cropped (ny, nx, nx) view and
+    returns ``(None, g_pad)`` — the memory-safe form for large grids used
+    OUTSIDE an enclosing jit (both forms otherwise materialize: ~9 GB at
+    801^2 instead of the single padded G's ~4.5 GB; inside one jit XLA
+    DCEs the unused form either way). The fused Pallas sweeps consume
+    g_pad directly.
     """
     _, ny, nx = coeffs.re.shape
     nxp = -(-nx // bk) * bk
@@ -318,7 +412,7 @@ def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
                             memory_space=pltpu.VMEM)
 
     g_re, g_im = pl.pallas_call(
-        functools.partial(_factor_kernel, nxp, bk),
+        functools.partial(_factor_kernel, nxp, bk, folded, panel_precision),
         grid=(ny,),
         in_specs=[plane_spec_cur, plane_spec_cur,
                   plane_spec_prev, plane_spec_prev],
@@ -335,16 +429,29 @@ def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
     )(re, im, re, im)
 
     g_pad = Cpx(g_re, g_im)
+    if not crop:
+        return None, g_pad
     if nxp != nx:
         g_re = g_re[:, :nx, :nx]
         g_im = g_im[:, :nx, :nx]
     return Cpx(g_re, g_im), g_pad
 
 
-def banded_factor_pallas(coeffs: Cpx, interpret: bool = False):
+def banded_factor_pallas(coeffs: Cpx, interpret: bool = False,
+                         folded: bool = False,
+                         keep_cropped: bool | None = None):
     """Drop-in block-Thomas factor built by the fused kernel (same
     BandedFactorCpx contract as split_engine.banded_factor_cpx). Carries
-    the panel-padded G so the fused sweeps skip their re-pad."""
+    the panel-padded G so the fused sweeps skip their re-pad.
+
+    ``keep_cropped``: whether to also materialize the cropped (ny, nx, nx)
+    G (needed by the XLA sweeps / SPIKE slab reuse). Default: only on CPU
+    backends — off-CPU the fused Pallas sweeps read g_pad, so an
+    out-of-jit factor stays at single-G memory (~4.5 GB instead of ~9 GB
+    at 801^2; see factor_g_pallas)."""
     from .split_engine import BandedFactorCpx
-    g, g_pad = factor_g_pallas(coeffs, interpret=interpret)
+    if keep_cropped is None:
+        keep_cropped = jax.default_backend() == "cpu"
+    g, g_pad = factor_g_pallas(coeffs, interpret=interpret, folded=folded,
+                               crop=keep_cropped)
     return BandedFactorCpx(g=g, coeffs=coeffs, g_pad=g_pad)

@@ -221,7 +221,7 @@ def banded_solve_pallas(factor, b: Cpx, adjoint: bool = False,
     """Fused-sweep solve through a BandedFactorCpx (same contract as
     split_engine.banded_solve_cpx). b: (batch, ny, nx)."""
     g, coeffs = factor.g, factor.coeffs
-    ny, nx = g.re.shape[0], coeffs.re.shape[2]
+    ny, nx = coeffs.re.shape[1], coeffs.re.shape[2]
     batch = b.re.shape[0]
 
     g_pad = getattr(factor, "g_pad", None)

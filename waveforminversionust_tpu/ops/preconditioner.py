@@ -93,6 +93,113 @@ def shifted_k2_cpx(vel, f, beta: float, sign: float) -> Cpx:
     return Cpx(k2, k2 * jnp.float32(beta * sign))
 
 
+def coarse_grid(grid: Grid2D) -> Grid2D:
+    """The 2h grid on the even fine nodes (fine nx, ny must be odd so the
+    domain corners coincide — true for the reference's 301^2 and every
+    Grid2D.centered grid)."""
+    if grid.nx % 2 == 0 or grid.ny % 2 == 0:
+        raise ValueError("two-level coarsening needs odd fine dimensions")
+    return Grid2D(nx=(grid.nx + 1) // 2, ny=(grid.ny + 1) // 2,
+                  dx=2 * grid.dx, dy=2 * grid.dy, x0=grid.x0, y0=grid.y0)
+
+
+def _restrict_axis(p, axis):
+    """Full-weighting [1/4, 1/2, 1/4] + stride-2 sampling along ``axis``."""
+    n = p.shape[axis]
+    pad = [(0, 0)] * p.ndim
+    pad[axis] = (1, 1)
+    pp = jnp.pad(p, pad)
+
+    def sl(start):
+        idx = [slice(None)] * p.ndim
+        idx[axis] = slice(start, start + n, 2)
+        return pp[tuple(idx)]
+
+    return 0.25 * sl(0) + 0.5 * sl(1) + 0.25 * sl(2)
+
+
+def restrict_cpx(v: Cpx) -> Cpx:
+    """Full-weighting restriction of (..., ny, nx) split-complex fields to
+    the :func:`coarse_grid` nodes."""
+    return cpx.apply_parts(
+        lambda p: _restrict_axis(_restrict_axis(p, -2), -1), v)
+
+
+def _prolong_axis(p, axis, n_fine):
+    mid = jnp.moveaxis(p, axis, -1)
+    odd = 0.5 * (mid[..., :-1] + mid[..., 1:])
+    out = jnp.zeros(mid.shape[:-1] + (n_fine,), p.dtype)
+    out = out.at[..., 0::2].set(mid)
+    out = out.at[..., 1::2].set(odd)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def prolong_cpx(v: Cpx, ny: int, nx: int) -> Cpx:
+    """Bilinear prolongation (the transpose stencil of :func:`restrict_cpx`
+    up to the standard factor) back to the (ny, nx) fine grid."""
+    return cpx.apply_parts(
+        lambda p: _prolong_axis(_prolong_axis(p, -2, ny), -1, nx), v)
+
+
+def make_two_level_preconditioner_cpx(grid: Grid2D, params: PrecondParams,
+                                      a_op: Callable, coarse_factor,
+                                      adjoint: bool = False,
+                                      pml_margin: float = 0.0) -> Callable:
+    """Two-level (deflated) shifted-Laplacian preconditioner, ADEF form:
+
+        P^-1 v = y + M^-1 (v - A y),   y = P A_c^-1 R v,
+
+    i.e. a direct coarse-grid correction (re-discretized 2h Helmholtz
+    operator, block-Thomas-factored once per operator) followed by the
+    one-level shifted-Laplacian FFT sweep on the corrected residual. The
+    coarse solve deflates the near-kernel (smooth, near-resonant) modes
+    that make the one-level preconditioned iteration count grow with
+    wavenumber [Erlangga & Nabben 2008; Sheikh/Lahaye/Vuik 2013 — see
+    PAPERS.md]; measured matvec counts: PERF_NOTES round 3.
+
+    ``a_op``: the (balanced) fine operator the GMRES solve targets;
+    ``coarse_factor``: BandedFactorCpx of the re-discretized coarse system
+    (same builder as the fine direct method; reuse across solves).
+
+    The correction is restricted to the PHYSICAL region (inside the PML,
+    and off the Dirichlet border ring):
+
+      * the balanced border rows carry scale 1/h^2 fine but 1/(2h)^2
+        coarse, so an unmasked correction returns 4x any border component
+        and the residual update turns it into -3x — amplification by 3
+        per application;
+      * the coarse PML (half the cells of the fine one) is a materially
+        different absorber, and power iteration on the unmasked error
+        propagator I - P^-1 A shows its dominant growth concentrated in
+        the PML corners (growth ~30 vs ~21 one-level, measured at
+        100 kHz/61^2).
+
+    PML/border components pass through to the FFT sweep untouched, exactly
+    as in the one-level scheme — they are strongly damped modes that GMRES
+    resolves quickly anyway; the coarse solve accelerates precisely the
+    propagating physical-domain modes whose count otherwise grows with k.
+    """
+    from .split_engine import banded_solve_cpx
+
+    m_inv = make_fft_preconditioner_cpx(grid, params, adjoint=adjoint)
+    ny, nx = grid.ny, grid.nx
+    x = jnp.arange(nx, dtype=jnp.float32) * grid.dx
+    y = jnp.arange(ny, dtype=jnp.float32) * grid.dy
+    lx, ly = x[-1], y[-1]
+    dist = jnp.minimum(jnp.minimum(x, lx - x)[None, :],
+                       jnp.minimum(y, ly - y)[:, None])
+    interior = (dist > pml_margin).astype(jnp.float32)
+
+    def p_inv(v: Cpx) -> Cpx:
+        vc = restrict_cpx(cpx.scale(v, interior))
+        yc = banded_solve_cpx(coarse_factor, vc, adjoint=adjoint)
+        y = cpx.scale(prolong_cpx(yc, ny, nx), interior)
+        r = v - a_op(y)
+        return y + m_inv(r)
+
+    return p_inv
+
+
 def make_fft_preconditioner_cpx(grid: Grid2D, params: PrecondParams,
                                 adjoint: bool = False) -> Callable:
     """Split-complex :func:`make_fft_preconditioner`.

@@ -412,6 +412,8 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
                       if cfg.method == SolverMethod.BANDED else None)
         precond = (_split_precond_params(vel, f, grid, cfg)
                    if cfg.method == SolverMethod.GMRES else None)
+        if cfg.method == SolverMethod.GMRES and cfg.gmres_two_level:
+            factor = _coarse_factor_cpx(vel, f, grid, cfg, attenuation)
     else:
         coeffs, precond = build_operator(vel, f, grid, cfg, adjoint=False,
                                          attenuation=attenuation,
@@ -529,6 +531,39 @@ def _banded_solve_refined_cpx(factor, rhs: Cpx,
     return x
 
 
+def _coarse_factor_cpx(vel, f, grid: Grid2D, cfg: SolverConfig,
+                       attenuation=None):
+    """Factored re-discretized 2h Helmholtz operator for the two-level
+    shifted-Laplacian preconditioner (see preconditioner.coarse_grid):
+    velocity/attenuation restricted by injection, same PML/stencil config,
+    block-Thomas factorization (one per operator; serves forward and
+    adjoint coarse corrections).
+
+    The coarse operator carries a small complex shift
+    (``cfg.coarse_shift_beta`` fraction of k^2, expressed through the
+    attenuation channel: alpha = beta_c * omega / (2 c)): the raw coarse
+    Helmholtz is indefinite with near-singular modes at slightly DIFFERENT
+    wavenumbers than the fine operator, so an unshifted coarse solve
+    amplifies those modes and the deflation diverges (measured: relres
+    0.33 vs one-level 0.034 at 100 kHz/61^2); the shift bounds the coarse
+    resolvent while leaving smooth-mode phases accurate."""
+    from .preconditioner import coarse_grid
+
+    gc = coarse_grid(grid)
+    vel_c = jax.lax.stop_gradient(
+        jnp.asarray(vel, jnp.float32))[::2, ::2]
+    att_c = jnp.zeros_like(vel_c) if attenuation is None \
+        else attenuation[::2, ::2]
+    if cfg.coarse_shift_beta:
+        att_c = att_c + (cfg.coarse_shift_beta * jnp.pi * f) / vel_c
+    coeffs_c = helmholtz_coefficients_cpx(vel_c, gc, f, cfg.pml, cfg.stencil,
+                                          attenuation=att_c)
+    if jax.default_backend() != "cpu":
+        from .pallas_factor import banded_factor_pallas
+        return banded_factor_pallas(coeffs_c, keep_cropped=True)
+    return banded_factor_cpx(coeffs_c)
+
+
 def _split_precond_params(vel, f, grid: Grid2D, cfg: SolverConfig,
                           sign: float = -1.0) -> PrecondParams:
     """Shifted-Laplacian parameters with a split-complex k2_ref (mirror of
@@ -576,20 +611,25 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
         if adjoint:
             u = cpxlib.scale(u, op.d_map)
     elif cfg.method == SolverMethod.GMRES:
-        m_inv = make_fft_preconditioner_cpx(grid, op.precond, adjoint=adjoint)
         if adjoint:
             # Balanced w-space adjoint: H_s^H w = s, u = D w (see
             # _fd_solve_impl for why the u-space H^H form stalls GMRES).
             coeffs = adjoint_coefficients_cpx(op.coeffs)
             a_op = lambda v: h_apply_cpx(coeffs, v)
-            res = gmres_cpx(a_op, src, m_inv=m_inv, tol=cfg.tol,
-                            maxiter=cfg.maxiter)
-            u = cpxlib.scale(res.x, op.d_map)
         else:
             a_op = lambda v: h_apply_cpx(op.coeffs, v)
-            res = gmres_cpx(a_op, cpxlib.scale(src, op.d_map), m_inv=m_inv,
-                            tol=cfg.tol, maxiter=cfg.maxiter)
-            u = res.x
+        if cfg.gmres_two_level and op.factor is not None:
+            from .preconditioner import make_two_level_preconditioner_cpx
+            m_inv = make_two_level_preconditioner_cpx(
+                grid, op.precond, a_op, op.factor, adjoint=adjoint,
+                pml_margin=cfg.pml.l_pml + 2 * grid.dx)
+        else:
+            m_inv = make_fft_preconditioner_cpx(grid, op.precond,
+                                                adjoint=adjoint)
+        rhs = src if adjoint else cpxlib.scale(src, op.d_map)
+        res = gmres_cpx(a_op, rhs, m_inv=m_inv, tol=cfg.tol,
+                        maxiter=cfg.maxiter)
+        u = cpxlib.scale(res.x, op.d_map) if adjoint else res.x
     else:
         raise NotImplementedError(
             "split_complex operator solve supports banded, gmres and born "

@@ -189,7 +189,10 @@ def _factor_local(c_local: Cpx, axis_name: str):
     # single-chip in ops/pallas_factor) and the XLA scan on CPU meshes.
     if jax.default_backend() != "cpu":
         from ..ops.pallas_factor import banded_factor_pallas
-        factor = banded_factor_pallas(c_int)
+        # keep_cropped: the SPIKE slab solves and SpikeFactor.g consume the
+        # cropped G; inside this (jitted) shard_map body XLA DCEs whichever
+        # form goes unused, so there is no double-buffering cost.
+        factor = banded_factor_pallas(c_int, keep_cropped=True)
     else:
         factor = banded_factor_cpx(c_int)
 
