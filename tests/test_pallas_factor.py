@@ -87,3 +87,27 @@ def test_sweep_kernel_matches_xla_sweeps():
                                                 interpret=True))
         rel = np.linalg.norm(x_pp - x_ref) / np.linalg.norm(x_ref)
         assert rel < 5e-6, (adjoint, rel)
+
+
+def test_sweep_kernel_default_precision_path():
+    """The mixed-precision inner-loop path (SolverConfig.fast_* ->
+    banded_solve_pallas(precision=DEFAULT)) stays a correct solve. On CPU
+    interpret mode DEFAULT == f32 so the check is tight; the real-MXU
+    ~1e-3 accuracy/RMSE budget is measured in PERF_NOTES round 3."""
+    import jax
+
+    coeffs, grid = _coeffs()
+    ny, nx = grid.shape
+    rng = np.random.default_rng(2)
+    b = cpx.of((rng.standard_normal((2, ny, nx))
+                + 1j * rng.standard_normal((2, ny, nx))).astype(np.complex64))
+    fac = banded_factor_cpx(coeffs, 0)
+    from waveforminversionust_tpu.ops.pallas_sweep import banded_solve_pallas
+    for adjoint, apply_fn in ((False, h_apply_cpx),
+                              (True, h_apply_adjoint_cpx)):
+        x = banded_solve_pallas(fac, b, adjoint=adjoint, interpret=True,
+                                precision=jax.lax.Precision.DEFAULT)
+        r = apply_fn(coeffs, x) - b
+        rel = float(np.sqrt(np.sum(np.abs(cpx.to_numpy(r)) ** 2)
+                            / np.sum(np.abs(cpx.to_numpy(b)) ** 2)))
+        assert rel < 2e-5, (adjoint, rel)

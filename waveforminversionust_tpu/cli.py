@@ -92,6 +92,10 @@ def _cmd_run(args):
         callback = make_stage_checkpointer(args.checkpoint_dir)
     from .config import AcquisitionConfig, SolverConfig, SolverMethod
     solver = SolverConfig(method=SolverMethod(args.solver_method))
+    if args.full_precision:
+        import dataclasses
+        solver = dataclasses.replace(solver, fast_linesearch=False,
+                                     fast_adjoint=False, fast_forward=False)
     acq_kwargs = {"acquisition": AcquisitionConfig(
         num_elements=args.elements or 256,
         radius=args.radius or 110e-3,
@@ -237,6 +241,14 @@ def main(argv=None):
                     help="keep one PNG per redraw instead of overwriting")
     pr.add_argument("--attenuation", type=float, default=0.0,
                     help="uniform known attenuation alpha [Np/m]")
+    pr.add_argument("--full-precision", action="store_true",
+                    help="disable the mixed-precision CG inner loop "
+                         "(SolverConfig.fast_linesearch/fast_adjoint/"
+                         "fast_forward): every solve's fused sweeps run "
+                         "at HIGHEST MXU precision. ~25%% slower on TPU, "
+                         "reproduces the full-precision trajectory "
+                         "(PERF_NOTES round 3: RMSE is noise-band "
+                         "identical either way)")
     pr.set_defaults(fn=_cmd_run)
 
     ps = sub.add_parser("simulate", help="synthesize a ring dataset")

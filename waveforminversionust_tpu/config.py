@@ -150,6 +150,28 @@ class SolverConfig:
     # 0.148 s/iter), so None/False = off; set True only for workloads doing
     # MANY solves per factorization (forward-modeling sweeps).
     fast_sweeps: bool | None = None
+    # Mixed-precision FWI inner loop (off-CPU pallas sweeps only; the
+    # factorization, data synthesis and the standalone solve_helmholtz API
+    # always run HIGHEST). The three flags run the corresponding CG-loop
+    # solve's fused sweeps at DEFAULT MXU precision (single-pass bf16,
+    # ~1e-3 relative field accuracy) instead of HIGHEST (6-pass f32):
+    #   * fast_linesearch — the perturbation solve feeds only the scalar
+    #     step size (first-order sensitivity);
+    #   * fast_adjoint — the adjoint solve feeds the gradient IMAGE, whose
+    #     ~1e-3 direction error is absorbed by the CG iteration (inexact-
+    #     Newton argument);
+    #   * fast_forward — the forward solve's ~1e-3 residual bias sits far
+    #     below FWI residual levels (the converged misfit here is ~28 % of
+    #     the data norm).
+    # Measured on the reference workload (301^2, 256 tx, 10 iters, real
+    # chip): 0.0650 (all HIGHEST) -> 0.0613 (ls) -> 0.0559 (ls+adj) ->
+    # 0.0522 s/iter (all three) = 100x the MATLAB baseline; reconstruction
+    # RMSE 15.06 / 15.07 / 14.98 / 15.10 m/s (noise band), loss monotone
+    # in every case, final loss within 0.7 % (PERF_NOTES round 3). Set all
+    # False to reproduce the full-precision trajectory.
+    fast_linesearch: bool = True
+    fast_adjoint: bool = True
+    fast_forward: bool = True
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0
     born_krylov: bool = True  # GMRES-accelerate the Born series (2-5x fewer FFTs)

@@ -107,7 +107,10 @@ def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
         """Forward solve + adjoint-state gradient pieces at one frequency."""
         op = make_helmholtz_operator(vel, f, grid, solver,
                                      attenuation=data.attenuation)
-        wv = helmholtz_operator_solve(op, data.src, grid, solver)
+        DEF = jax.lax.Precision.DEFAULT
+        wv = helmholtz_operator_solve(
+            op, data.src, grid, solver,
+            precision=DEF if solver.fast_forward else None)
         rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
         if fwi.estimate_source_strength:
             s_est = estimate_source_strengths(rec_sim, rec_obs)
@@ -121,8 +124,9 @@ def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
         loss = misfit(rec_sim, rec_obs)
         adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x,
                                     grid.shape, data.rx_w)
-        adj_wv = helmholtz_operator_solve(op, adj_src, grid, solver,
-                                          adjoint=True)
+        adj_wv = helmholtz_operator_solve(
+            op, adj_src, grid, solver, adjoint=True,
+            precision=DEF if solver.fast_adjoint else None)
         virt = virtual_source(slow, wv, f, alpha_signed)
         if isinstance(virt, Cpx):
             grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
@@ -137,7 +141,10 @@ def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
             pert_src = cpx.scale(virt, -sd[None])
         else:
             pert_src = -virt * sd[None].astype(jnp.complex64)
-        pert = helmholtz_operator_solve(op, pert_src, grid, solver)
+        ls_prec = (jax.lax.Precision.DEFAULT
+                   if solver.fast_linesearch else None)
+        pert = helmholtz_operator_solve(op, pert_src, grid, solver,
+                                        precision=ls_prec)
         return sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
 
     def step(state, it):

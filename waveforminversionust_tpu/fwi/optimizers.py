@@ -156,9 +156,15 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             alpha_signed = (jnp.sign(jnp.float32(solver.pml.sign_convention))
                             * data.attenuation)
 
+        # Mixed-precision inner loop (SolverConfig.fast_*; measured
+        # RMSE-neutral, PERF_NOTES round 3): DEFAULT-precision sweeps for
+        # the solves whose outputs feed tolerant quantities.
+        DEF = jax.lax.Precision.DEFAULT
+
         # (1) forward solve, all transmitters at once
         # (reference: nonlinearcg.py:76)
-        wv = solve(op, data.src, grid, solver)
+        wv = solve(op, data.src, grid, solver,
+                   precision=DEF if solver.fast_forward else None)
         rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
 
         # (2) source-strength estimation (reference: nonlinearcg.py:79-89)
@@ -178,7 +184,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # (reference: nonlinearcg.py:93-125)
         adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x,
                                     grid.shape, data.rx_w)
-        adj_wv = solve(op, adj_src, grid, solver, adjoint=True)
+        adj_wv = solve(op, adj_src, grid, solver, adjoint=True,
+                       precision=DEF if solver.fast_adjoint else None)
 
         # (4) adjoint-state gradient (reference: nonlinearcg.py:118-127)
         virt = virtual_source(slow, wv, data.f, alpha_signed)
@@ -199,7 +206,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             pert_src = cpx.scale(virt, -sd_new[None])
         else:
             pert_src = -virt * sd_new[None].astype(jnp.complex64)
-        pert = solve(op, pert_src, grid, solver)
+        pert = solve(op, pert_src, grid, solver,
+                     precision=DEF if solver.fast_linesearch else None)
         drec = sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
 
         # (7) step size & slowness update (reference: nonlinearcg.py:159,

@@ -42,18 +42,18 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _gemv(zr, zi, gr, gi):
+def _gemv(zr, zi, gr, gi, precision=_HI):
     """out[b, i] = sum_j G[i, j] z[b, j] — contract z dim 1 with G dim 1."""
     dn = (((1,), (1,)), ((), ()))
-    d = lambda a, b: jax.lax.dot_general(a, b, dn, precision=_HI,
+    d = lambda a, b: jax.lax.dot_general(a, b, dn, precision=precision,
                                          preferred_element_type=jnp.float32)
     return d(zr, gr) - d(zi, gi), d(zr, gi) + d(zi, gr)
 
 
-def _gemv_h(zr, zi, gr, gi):
+def _gemv_h(zr, zi, gr, gi, precision=_HI):
     """out[b, i] = sum_j conj(G[j, i]) z[b, j] — z @ conj(G)."""
     dn = (((1,), (0,)), ((), ()))
-    d = lambda a, b: jax.lax.dot_general(a, b, dn, precision=_HI,
+    d = lambda a, b: jax.lax.dot_general(a, b, dn, precision=precision,
                                          preferred_element_type=jnp.float32)
     return d(zr, gr) + d(zi, gi), d(zi, gr) - d(zr, gi)
 
@@ -84,7 +84,7 @@ def _plane(ref, k, nxp):
     return ref[0, k, :].reshape(1, nxp)
 
 
-def _fwd_kernel(nxp: int, adjoint: bool,
+def _fwd_kernel(nxp: int, adjoint: bool, precision,
                 g_re_ref, g_im_ref, p_re_ref, p_im_ref,
                 b_re_ref, b_im_ref, z_re_ref, z_im_ref,
                 c_re_ref, c_im_ref):
@@ -104,7 +104,7 @@ def _fwd_kernel(nxp: int, adjoint: bool,
 
         @pl.when(i > 0)
         def _():
-            wr, wi = _gemv(c_re_ref[:], c_im_ref[:], gr, gi)
+            wr, wi = _gemv(c_re_ref[:], c_im_ref[:], gr, gi, precision)
             lm_re, lm_im = _plane(p_re_ref, 3, nxp), _plane(p_im_ref, 3, nxp)
             ls_re, ls_im = _plane(p_re_ref, 5, nxp), _plane(p_im_ref, 5, nxp)
             lp_re, lp_im = _plane(p_re_ref, 6, nxp), _plane(p_im_ref, 6, nxp)
@@ -121,7 +121,7 @@ def _fwd_kernel(nxp: int, adjoint: bool,
 
         @pl.when(i == 0)
         def _():
-            wr, wi = _gemv_h(br, bi, gr, gi)
+            wr, wi = _gemv_h(br, bi, gr, gi, precision)
             z_re_ref[0] = wr
             z_im_ref[0] = wi
             c_re_ref[:] = wr
@@ -131,14 +131,14 @@ def _fwd_kernel(nxp: int, adjoint: bool,
         def _():
             tr, ti = _tri_h(um_re, um_im, us_re, us_im, up_re, up_im,
                             c_re_ref[:], c_im_ref[:])
-            wr, wi = _gemv_h(br - tr, bi - ti, gr, gi)
+            wr, wi = _gemv_h(br - tr, bi - ti, gr, gi, precision)
             z_re_ref[0] = wr
             z_im_ref[0] = wi
             c_re_ref[:] = wr
             c_im_ref[:] = wi
 
 
-def _bwd_kernel(nxp: int, adjoint: bool,
+def _bwd_kernel(nxp: int, adjoint: bool, precision,
                 g_re_ref, g_im_ref, p_re_ref, p_im_ref,
                 z_re_ref, z_im_ref, x_re_ref, x_im_ref,
                 c_re_ref, c_im_ref):
@@ -155,7 +155,7 @@ def _bwd_kernel(nxp: int, adjoint: bool,
 
         @pl.when(i == 0)
         def _():
-            xr, xi = _gemv(zr, zi, gr, gi)
+            xr, xi = _gemv(zr, zi, gr, gi, precision)
             x_re_ref[0] = xr
             x_im_ref[0] = xi
             c_re_ref[:] = xr
@@ -165,7 +165,7 @@ def _bwd_kernel(nxp: int, adjoint: bool,
         def _():
             tr, ti = _tri(um_re, um_im, us_re, us_im, up_re, up_im,
                           c_re_ref[:], c_im_ref[:])
-            xr, xi = _gemv(zr - tr, zi - ti, gr, gi)
+            xr, xi = _gemv(zr - tr, zi - ti, gr, gi, precision)
             x_re_ref[0] = xr
             x_im_ref[0] = xi
             c_re_ref[:] = xr
@@ -187,7 +187,7 @@ def _bwd_kernel(nxp: int, adjoint: bool,
         def _():
             tr, ti = _tri_h(lm_re, lm_im, ls_re, ls_im, lp_re, lp_im,
                             c_re_ref[:], c_im_ref[:])
-            vr, vi = _gemv_h(tr, ti, gr, gi)
+            vr, vi = _gemv_h(tr, ti, gr, gi, precision)
             xr, xi = zr - vr, zi - vi
             x_re_ref[0] = xr
             x_im_ref[0] = xi
@@ -215,11 +215,20 @@ def _pass(kernel, ny, batch, nxp, g_maps, p_maps, v_map, out_map,
     )(g_re, g_im, planes_re, planes_im, v_re, v_im)
 
 
-@functools.partial(jax.jit, static_argnames=("adjoint", "interpret"))
+@functools.partial(jax.jit, static_argnames=("adjoint", "interpret",
+                                             "precision"))
 def banded_solve_pallas(factor, b: Cpx, adjoint: bool = False,
-                        interpret: bool = False) -> Cpx:
+                        interpret: bool = False,
+                        precision=_HI) -> Cpx:
     """Fused-sweep solve through a BandedFactorCpx (same contract as
-    split_engine.banded_solve_cpx). b: (batch, ny, nx)."""
+    split_engine.banded_solve_cpx). b: (batch, ny, nx).
+
+    ``precision``: MXU precision of the per-row gemvs (Mosaic supports
+    DEFAULT and HIGHEST only). DEFAULT (single-pass bf16) halves-to-thirds
+    the sweep MXU time at ~1e-3 relative solution accuracy — fit for
+    solves feeding only low-sensitivity scalars (the linearized
+    line-search; see SolverConfig.fast_linesearch), NOT for the data-fit
+    forward solve."""
     g, coeffs = factor.g, factor.coeffs
     ny, nx = coeffs.re.shape[1], coeffs.re.shape[2]
     batch = b.re.shape[0]
@@ -254,8 +263,8 @@ def banded_solve_pallas(factor, b: Cpx, adjoint: bool = False,
     b_re = padx(jnp.moveaxis(b.re, 1, 0))             # (ny, batch, nxp)
     b_im = padx(jnp.moveaxis(b.im, 1, 0))
 
-    fwd = functools.partial(_fwd_kernel, nxp, adjoint)
-    bwd = functools.partial(_bwd_kernel, nxp, adjoint)
+    fwd = functools.partial(_fwd_kernel, nxp, adjoint, precision)
+    bwd = functools.partial(_bwd_kernel, nxp, adjoint, precision)
 
     if not adjoint:
         g_fwd = lambda i: (jnp.maximum(i - 1, 0), 0, 0)   # G_{i-1}

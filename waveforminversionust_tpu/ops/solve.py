@@ -428,7 +428,7 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
 def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
                              cfg: SolverConfig = SolverConfig(),
                              adjoint: bool = False, x0=None, mesh=None,
-                             grid_axis: str = "grid"):
+                             grid_axis: str = "grid", precision=None):
     """Solve H u = src (or H^H u = src) with a prepared operator.
 
     Non-differentiable fast path for hand-derived-gradient optimizers (the
@@ -438,7 +438,7 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
     """
     if cfg.split_complex:
         return _operator_solve_split(op, src, grid, cfg, adjoint, mesh,
-                                     grid_axis)
+                                     grid_axis, precision)
     src = jnp.asarray(src, jnp.complex64)
     single = src.ndim == 2
     if single:
@@ -512,7 +512,8 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
 
 
 def _banded_solve_refined_cpx(factor, rhs: Cpx,
-                              cfg: SolverConfig, adjoint: bool) -> Cpx:
+                              cfg: SolverConfig, adjoint: bool,
+                              precision=None) -> Cpx:
     opfn = (lambda v: h_apply_adjoint_cpx(factor.coeffs, v)) if adjoint \
         else (lambda v: h_apply_cpx(factor.coeffs, v))
     if isinstance(factor, CRFactor):
@@ -521,7 +522,10 @@ def _banded_solve_refined_cpx(factor, rhs: Cpx,
         # Fused-sweep kernel: each pass is one pallas_call instead of an
         # XLA scan paying ~43 us/row of dispatch floor (ops/pallas_sweep).
         from .pallas_sweep import banded_solve_pallas
-        base = banded_solve_pallas
+        if precision is not None:
+            base = partial(banded_solve_pallas, precision=precision)
+        else:
+            base = banded_solve_pallas
     else:
         base = banded_solve_cpx
     x = base(factor, rhs, adjoint=adjoint)
@@ -582,7 +586,7 @@ def _split_precond_params(vel, f, grid: Grid2D, cfg: SolverConfig,
 
 def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
                           cfg: SolverConfig, adjoint: bool, mesh=None,
-                          grid_axis: str = "grid") -> Cpx:
+                          grid_axis: str = "grid", precision=None) -> Cpx:
     """Split-complex operator solve (banded method)."""
     src = cpxlib.of(src)
     single = src.ndim == 2
@@ -607,7 +611,8 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
             u = spike_solve(op.factor, rhs, mesh, grid_axis, adjoint=adjoint)
         else:
             u = _banded_solve_refined_cpx(op.factor, rhs, cfg,
-                                          adjoint=adjoint)
+                                          adjoint=adjoint,
+                                          precision=precision)
         if adjoint:
             u = cpxlib.scale(u, op.d_map)
     elif cfg.method == SolverMethod.GMRES:
