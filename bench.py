@@ -58,7 +58,14 @@ def main():
     # only for a few compute ops; see waveforminversionust_tpu.ops.cpx).
     split = jax.devices()[0].platform != "cpu"
     data = build_fwi_data(acq, ds.rec_data, ds.f, split=split)
-    solver = SolverConfig(split_complex=split)
+    # Production-tuned configuration (PERF_NOTES round 3): frozen-factor
+    # CG at K=2 — factorize every other iteration, one refinement pass
+    # against the current operator on stale iterations. Measured on this
+    # workload: 0.0502 vs 0.0538 s/iter, reconstruction RMSE 14.95 vs
+    # 15.09 m/s (noise band), loss monotone; K>=3 loses monotonicity.
+    # The assert below keeps the bench honest about convergence.
+    solver = SolverConfig(split_complex=split,
+                          refactor_every=2 if split else 1)
     fwi = FWIConfig(num_iterations=N_ITER)
     vel0 = jnp.full(grid.shape, fwi.c_init, jnp.float32)
 

@@ -172,6 +172,22 @@ class SolverConfig:
     fast_linesearch: bool = True
     fast_adjoint: bool = True
     fast_forward: bool = True
+    # Frozen-factor CG: with refactor_every = K > 1 the CG loop runs the
+    # banded factorization (the dominant in-loop cost: ~32 ms of ~52 at
+    # 301^2) only on iterations where it % K == 0 and reuses the previous
+    # G blocks in between — the velocity moves ~1%/iteration on the
+    # reference workload, so the stale G stays an excellent approximate
+    # inverse of the CURRENT operator (the sweep recurrences always use
+    # the current coefficient planes; only G is stale). On stale
+    # iterations the forward and adjoint solves take one extra iterative-
+    # refinement pass against the current operator when stale_refine is
+    # set (the line-search solve feeds only a first-order scalar step and
+    # is never refined). CG-loop only (nonlinear_cg / invert_dataset),
+    # split-complex banded method, not with factorization="spike".
+    # Default 1 (off): see PERF_NOTES round 3 for the measured (K,
+    # refine) -> s/iter / RMSE trade-off before enabling.
+    refactor_every: int = 1
+    stale_refine: bool = True
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0
     born_krylov: bool = True  # GMRES-accelerate the Born series (2-5x fewer FFTs)

@@ -125,9 +125,33 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
     every Helmholtz factorization/solve grid-sharded over the mesh axis —
     one y-slab per device (see parallel.spike) — so the inversion scales to
     grids beyond one chip's HBM; the rest of the step (gathers, reductions,
-    model update) stays global-view and GSPMD inserts the collectives."""
+    model update) stays global-view and GSPMD inserts the collectives.
+
+    With ``solver.refactor_every == K > 1`` (frozen-factor CG) the scan
+    carry additionally holds the banded factor: the factorization runs only
+    when ``it % K == 0`` (and at the first iteration of every scan, so
+    resumed chunks never run on the zero-initialized carry) and the stale
+    G blocks are reused in between. The sweeps always read the CURRENT
+    coefficient planes (only G is stale), and the forward/adjoint solves
+    take one refinement pass against the current operator on stale
+    iterations when ``solver.stale_refine`` is set."""
     from .regularization import make_cg_regularizer
     regularize = make_cg_regularizer(grid, fwi)
+
+    K = solver.refactor_every
+    frozen = K > 1
+    if frozen:
+        from ..config import SolverMethod
+        if (not isinstance(data.src, Cpx) or solver.method != SolverMethod.BANDED
+                or solver.factorization == "spike" or mesh is not None):
+            raise ValueError(
+                "refactor_every > 1 (frozen-factor CG) requires the "
+                "split-complex banded method without spike/mesh sharding")
+        from ..ops.solve import HelmholtzOperator, _factor_cpx
+        from ..ops.split_engine import helmholtz_coefficients_cpx
+        from ..ops.stencil import boundary_mask, dirichlet_scale
+        scale = dirichlet_scale(grid)
+        d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
 
     # The PML stretch fields depend only on (grid, f, pml) — hoist them out
     # of the per-iteration operator rebuild (they'd otherwise be recomputed
@@ -140,15 +164,41 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         from ..ops.stencil import pml_stretch_fields
         pml_fields = pml_stretch_fields(grid, data.f, solver.pml)
 
-    def step(state: CGState, it):
+    def step(carry, xs):
+        if frozen:
+            state, factor_prev = carry
+            it, local = xs
+        else:
+            state, it = carry, xs
         vel, slow, sd, gprev = (state.velocity, state.slowness,
                                 state.search_dir, state.grad_prev)
 
-        # One operator build + factorization serves all 3 solves.
-        op = make_helmholtz_operator(vel, data.f, grid, solver,
-                                     attenuation=data.attenuation,
-                                     pml_fields=pml_fields, mesh=mesh,
-                                     grid_axis=grid_axis)
+        stale = None
+        if frozen:
+            # Frozen-factor path: rebuild the (cheap) coefficient planes
+            # every iteration, run the (expensive) factorization only every
+            # K-th; the stale G + current planes remain an approximate
+            # inverse of the CURRENT operator (only G is stale).
+            coeffs = helmholtz_coefficients_cpx(
+                vel, grid, data.f, solver.pml, solver.stencil,
+                attenuation=data.attenuation, pml_fields=pml_fields)
+            do_factor = jnp.logical_or(local == 0, (it % K) == 0)
+            factor = jax.lax.cond(do_factor,
+                                  lambda: _factor_cpx(coeffs, solver),
+                                  lambda: factor_prev)
+            factor = factor._replace(coeffs=coeffs)
+            op = HelmholtzOperator(vel=vel,
+                                   f=jnp.asarray(data.f, jnp.float32),
+                                   coeffs=coeffs, precond=None,
+                                   factor=factor, d_map=d_map)
+            if solver.stale_refine:
+                stale = jnp.logical_not(do_factor)
+        else:
+            # One operator build + factorization serves all 3 solves.
+            op = make_helmholtz_operator(vel, data.f, grid, solver,
+                                         attenuation=data.attenuation,
+                                         pml_fields=pml_fields, mesh=mesh,
+                                         grid_axis=grid_axis)
         solve = partial(helmholtz_operator_solve, mesh=mesh,
                         grid_axis=grid_axis)
         alpha_signed = None
@@ -164,7 +214,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # (1) forward solve, all transmitters at once
         # (reference: nonlinearcg.py:76)
         wv = solve(op, data.src, grid, solver,
-                   precision=DEF if solver.fast_forward else None)
+                   precision=DEF if solver.fast_forward else None,
+                   extra_refine=stale)
         rec_sim = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
 
         # (2) source-strength estimation (reference: nonlinearcg.py:79-89)
@@ -185,7 +236,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         adj_src = scatter_to_fields(residual, data.rx_y, data.rx_x,
                                     grid.shape, data.rx_w)
         adj_wv = solve(op, adj_src, grid, solver, adjoint=True,
-                       precision=DEF if solver.fast_adjoint else None)
+                       precision=DEF if solver.fast_adjoint else None,
+                       extra_refine=stale)
 
         # (4) adjoint-state gradient (reference: nonlinearcg.py:118-127)
         virt = virtual_source(slow, wv, data.f, alpha_signed)
@@ -234,6 +286,8 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
         new_state = CGState(vel_new, slow_new, sd_new, grad, wv, adj_wv)
+        if frozen:
+            return (new_state, factor), metrics
         return new_state, metrics
 
     return step
@@ -292,7 +346,25 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
     step = make_cg_step(data, grid, solver, fwi, mesh=mesh,
                         grid_axis=grid_axis)
     its = jnp.arange(n_iter) + jnp.asarray(iteration_offset, jnp.int32)
-    final, metrics = jax.lax.scan(step, state, its)
+    if solver.refactor_every > 1:
+        # Frozen-factor CG: the scan carry holds the banded factor. The
+        # zero-initialized carry is never consumed — the step forces a
+        # factorization at local index 0 (see make_cg_step).
+        from ..ops.solve import _factor_cpx
+        from ..ops.split_engine import helmholtz_coefficients_cpx
+
+        def _mk_factor(v):
+            c = helmholtz_coefficients_cpx(v, grid, data.f, solver.pml,
+                                           solver.stencil,
+                                           attenuation=data.attenuation)
+            return _factor_cpx(c, solver)
+
+        fshape = jax.eval_shape(_mk_factor, vel0)
+        factor0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fshape)
+        (final, _), metrics = jax.lax.scan(
+            step, (state, factor0), (its, jnp.arange(n_iter)))
+    else:
+        final, metrics = jax.lax.scan(step, state, its)
     def _parts(fld):
         if isinstance(fld, Cpx):
             return ComplexParts(fld.re, fld.im)

@@ -428,17 +428,23 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
 def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
                              cfg: SolverConfig = SolverConfig(),
                              adjoint: bool = False, x0=None, mesh=None,
-                             grid_axis: str = "grid", precision=None):
+                             grid_axis: str = "grid", precision=None,
+                             extra_refine=None):
     """Solve H u = src (or H^H u = src) with a prepared operator.
 
     Non-differentiable fast path for hand-derived-gradient optimizers (the
     reference's CG loop); use :func:`solve_helmholtz` when autodiff through
     the solve is needed. For a SPIKE (grid-sharded) operator, pass the same
     ``mesh``/``grid_axis`` the factor was built with.
+
+    ``extra_refine``: optional traced bool — when true at runtime, one
+    additional iterative-refinement pass runs after the banded solve
+    against ``op.factor.coeffs`` (the frozen-factor CG's stale-iteration
+    correction; split banded only; see SolverConfig.refactor_every).
     """
     if cfg.split_complex:
         return _operator_solve_split(op, src, grid, cfg, adjoint, mesh,
-                                     grid_axis, precision)
+                                     grid_axis, precision, extra_refine)
     src = jnp.asarray(src, jnp.complex64)
     single = src.ndim == 2
     if single:
@@ -513,7 +519,7 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
 
 def _banded_solve_refined_cpx(factor, rhs: Cpx,
                               cfg: SolverConfig, adjoint: bool,
-                              precision=None) -> Cpx:
+                              precision=None, extra_refine=None) -> Cpx:
     opfn = (lambda v: h_apply_adjoint_cpx(factor.coeffs, v)) if adjoint \
         else (lambda v: h_apply_cpx(factor.coeffs, v))
     if isinstance(factor, CRFactor):
@@ -532,6 +538,14 @@ def _banded_solve_refined_cpx(factor, rhs: Cpx,
     for _ in range(cfg.refine):
         r = rhs - opfn(x)
         x = x + base(factor, r, adjoint=adjoint)
+    if extra_refine is not None:
+        # Runtime-conditional refinement (frozen-factor CG: only the stale
+        # iterations pay the extra apply + sweep pass).
+        def _refine(x):
+            r = rhs - opfn(x)
+            return x + base(factor, r, adjoint=adjoint)
+
+        x = jax.lax.cond(extra_refine, _refine, lambda x: x, x)
     return x
 
 
@@ -586,7 +600,8 @@ def _split_precond_params(vel, f, grid: Grid2D, cfg: SolverConfig,
 
 def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
                           cfg: SolverConfig, adjoint: bool, mesh=None,
-                          grid_axis: str = "grid", precision=None) -> Cpx:
+                          grid_axis: str = "grid", precision=None,
+                          extra_refine=None) -> Cpx:
     """Split-complex operator solve (banded method)."""
     src = cpxlib.of(src)
     single = src.ndim == 2
@@ -612,7 +627,8 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
         else:
             u = _banded_solve_refined_cpx(op.factor, rhs, cfg,
                                           adjoint=adjoint,
-                                          precision=precision)
+                                          precision=precision,
+                                          extra_refine=extra_refine)
         if adjoint:
             u = cpxlib.scale(u, op.d_map)
     elif cfg.method == SolverMethod.GMRES:
