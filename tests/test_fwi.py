@@ -98,6 +98,31 @@ class TestNonlinearCG:
                            FWIConfig(num_iterations=2, step_size=step))
         assert np.all(np.isfinite(np.array(res.metrics.loss)))
 
+    def test_illumination_preconditioning(self, problem):
+        """FWIConfig(precondition="illumination") — the diagonal pseudo-
+        Hessian scaling (absent from the reference). Measured on the real
+        RecordedData workload: reaches the baseline's 10-iteration quality
+        in 5 iterations; RMSE 13.41 -> 12.47 m/s with bilinear receivers
+        (PERF_NOTES round 3). Here: the preconditioned inversion must
+        converge (loss down, reconstruction toward truth) and produce a
+        genuinely different trajectory from the raw gradient."""
+        grid, data, true_vel = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        fwi = FWIConfig(num_iterations=6, c_init=C0,
+                        precondition="illumination")
+        res = nonlinear_cg(vel0, data, grid, SOLVER, fwi)
+        losses = np.array(res.metrics.loss)
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < 0.5 * losses[0], losses
+        err0 = _recon_error(np.full(grid.shape, C0), true_vel, grid)
+        err = _recon_error(res.velocity, true_vel, grid)
+        assert err < 0.7 * err0, (err, err0)
+        base = nonlinear_cg(vel0, data, grid, SOLVER,
+                            FWIConfig(num_iterations=6, c_init=C0))
+        dv = np.array(res.velocity) - np.array(base.velocity)
+        assert np.linalg.norm(dv) > 1e-3 * np.linalg.norm(
+            np.array(base.velocity) - C0)
+
     def test_born_solver_variant_runs(self):
         # Small dedicated problem: the Born solves are iterative (hundreds of
         # FFT pairs each), so keep this fixture tiny for suite runtime.

@@ -30,8 +30,9 @@ from ..models.grid import Grid2D
 from ..ops import cpx
 from ..ops.cpx import Cpx
 from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
-from .objective import (FWIData, estimate_source_strengths, misfit,
-                        sample_receivers, scatter_to_fields, virtual_source)
+from .objective import (FWIData, estimate_source_strengths, illumination_map,
+                        misfit, precondition_gradient, sample_receivers,
+                        scatter_to_fields, virtual_source)
 from .optimizers import CGMetrics, _dot, _momentum, _re_inner
 
 
@@ -132,7 +133,9 @@ def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
             grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
         else:
             grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
-        return loss, grad, virt, residual, rec_sim
+        illum = (illumination_map(wv)
+                 if fwi.precondition == "illumination" else jnp.float32(0.0))
+        return loss, grad, illum, virt, residual, rec_sim
 
     def per_freq_linesearch(vel, f, virt, sd):
         op = make_helmholtz_operator(vel, f, grid, solver,
@@ -152,14 +155,20 @@ def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
 
         def fwd_f(f_and_rec):
             f, rec_obs = f_and_rec
-            loss, grad, virt, residual, rec_sim = per_freq_forward(
+            loss, grad, illum, virt, residual, rec_sim = per_freq_forward(
                 vel, slow, f, rec_obs)
-            return loss, grad, virt, residual, rec_sim
+            return loss, grad, illum, virt, residual, rec_sim
 
-        losses, grads, virts, residuals, rec_sims = jax.lax.map(
+        losses, grads, illums, virts, residuals, rec_sims = jax.lax.map(
             fwd_f, (data.freqs, data.rec_obs))
         loss = preduce(jnp.sum(losses))
         grad = preduce(jnp.sum(grads, axis=0))
+        if fwi.precondition == "illumination":
+            # Illumination summed over frequencies AND shots (across devices
+            # under shard_map — same reduction tree as the gradient).
+            grad = precondition_gradient(grad,
+                                         preduce(jnp.sum(illums, axis=0)),
+                                         fwi.precondition_eps)
         if regularize is not None:
             grad = grad + regularize(slow, grad)
 

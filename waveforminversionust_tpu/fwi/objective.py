@@ -160,6 +160,27 @@ def misfit(rec_sim, rec_obs):
     return 0.5 * jnp.sum(jnp.real(jnp.conj(d) * d))
 
 
+def illumination_map(wavefields):
+    """Source-illumination map ``sum_tx |u_tx|^2`` over the (ntx, ny, nx)
+    forward wavefields — the diagonal of the Gauss-Newton pseudo-Hessian up
+    to the receiver-side Green's-function factor. Used to precondition the
+    adjoint-state gradient (``FWIConfig.precondition="illumination"``); the
+    reference has no preconditioning (its gradient is the raw correlation,
+    nonlinearcg.py:126-127)."""
+    if isinstance(wavefields, Cpx):
+        return jnp.sum(wavefields.re * wavefields.re
+                       + wavefields.im * wavefields.im, axis=0)
+    return jnp.sum(jnp.real(jnp.conj(wavefields) * wavefields), axis=0)
+
+
+def precondition_gradient(grad, illum, eps_frac):
+    """Divide the gradient by the illumination map, floored at ``eps_frac``
+    of its maximum (the standard stabilized diagonal-Hessian scaling).
+    Scale-invariant downstream: every step-size formula is homogeneous of
+    degree 0 in the search-direction scale."""
+    return grad / (illum + eps_frac * jnp.max(illum))
+
+
 def virtual_source(slowness, wavefields, f, alpha_signed=None):
     """VIRT = dk^2/d(slowness) * u — the dH/d(slowness) action on u
     (reference: nonlinearcg.py:120, FrequencyDomainFWI.m:110-111).

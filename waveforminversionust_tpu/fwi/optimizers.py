@@ -38,8 +38,9 @@ from ..ops import cpx
 from ..ops.cpx import Cpx
 from ..ops.solve import helmholtz_operator_solve, make_helmholtz_operator
 from ..utils.host import ComplexParts
-from .objective import (FWIData, estimate_source_strengths, misfit,
-                        sample_receivers, scatter_to_fields, virtual_source)
+from .objective import (FWIData, estimate_source_strengths, illumination_map,
+                        misfit, precondition_gradient, sample_receivers,
+                        scatter_to_fields, virtual_source)
 
 
 class CGState(NamedTuple):
@@ -245,6 +246,9 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
         else:
             grad = -jnp.sum(jnp.real(jnp.conj(virt) * adj_wv), axis=0)
+        if fwi.precondition == "illumination":
+            grad = precondition_gradient(grad, illumination_map(wv),
+                                         fwi.precondition_eps)
         if regularize is not None:
             grad = grad + regularize(slow, grad)
 
