@@ -111,3 +111,24 @@ def test_sweep_kernel_default_precision_path():
         rel = float(np.sqrt(np.sum(np.abs(cpx.to_numpy(r)) ** 2)
                             / np.sum(np.abs(cpx.to_numpy(b)) ** 2)))
         assert rel < 2e-5, (adjoint, rel)
+
+
+def test_factor_precision_default_plumbing():
+    """SolverConfig.factor_precision="default" reaches the kernel: the
+    DEFAULT-panel factor must still solve the true system (on CPU interpret
+    mode DEFAULT == f32, so residuals match the HIGHEST path; on the real
+    chip the measured trade is 801^2 factor 564 -> 310 ms with refine=2
+    recovering equal residual — PERF_NOTES round 3)."""
+    import jax
+
+    coeffs, grid = _coeffs()
+    ny, nx = grid.shape
+    rng = np.random.default_rng(1)
+    b = cpx.of((rng.standard_normal((2, ny, nx))
+                + 1j * rng.standard_normal((2, ny, nx))).astype(np.complex64))
+    fac = banded_factor_pallas(coeffs, interpret=True,
+                               panel_precision=jax.lax.Precision.DEFAULT)
+    x = banded_solve_cpx(fac, b)
+    r = cpx.to_numpy(h_apply_cpx(coeffs, x)) - cpx.to_numpy(b)
+    rel = np.linalg.norm(r) / np.linalg.norm(cpx.to_numpy(b))
+    assert rel < 1e-4, rel

@@ -138,6 +138,14 @@ class SolverConfig:
     refine: int = 0  # iterative-refinement passes after a banded solve
     # (0 suffices at f32 contraction precision: ~3e-6 true relative residual
     # measured at the reference 301^2/256-tx workload on TPU and CPU)
+    # MXU precision of the fused factor kernel's panel updates ("highest" |
+    # "default"). "default" (single-pass bf16) pays only at LARGE grids,
+    # where the O(nx^3/row) panel matmuls dominate the factorization:
+    # measured at 801^2 on the real chip, factor 564 -> 310 ms and — with
+    # refine=2 — equal solve residual (6.9e-6 vs 1.0e-5) at 422 vs 603 ms
+    # total per 64-RHS solve. At 301^2 the kernel is op-issue-bound and
+    # "default" buys nothing (PERF_NOTES). Use with refine=2 at >=601^2.
+    factor_precision: str = "highest"
     # Hybrid factorization (split engine only): >0 replaces most exact
     # Schur-complement inverses with warm-started Newton-Schulz steps
     # (~2.5x faster factorization on the targeted TPU runtime); 0 = exact.

@@ -439,7 +439,8 @@ def factor_g_pallas(coeffs: Cpx, interpret: bool = False,
 
 def banded_factor_pallas(coeffs: Cpx, interpret: bool = False,
                          folded: bool = False,
-                         keep_cropped: bool | None = None):
+                         keep_cropped: bool | None = None,
+                         panel_precision=_HI):
     """Drop-in block-Thomas factor built by the fused kernel (same
     BandedFactorCpx contract as split_engine.banded_factor_cpx). Carries
     the panel-padded G so the fused sweeps skip their re-pad.
@@ -448,10 +449,21 @@ def banded_factor_pallas(coeffs: Cpx, interpret: bool = False,
     G (needed by the XLA sweeps / SPIKE slab reuse). Default: only on CPU
     backends — off-CPU the fused Pallas sweeps read g_pad, so an
     out-of-jit factor stays at single-G memory (~4.5 GB instead of ~9 GB
-    at 801^2; see factor_g_pallas)."""
+    at 801^2; see factor_g_pallas).
+
+    ``panel_precision``: MXU precision of the rank-bk panel updates.
+    HIGHEST (default) gives direct-solver-grade factors everywhere.
+    DEFAULT (single-pass bf16) pays at LARGE grids where the O(nx^3/row)
+    panel matmuls dominate the factor: at 801^2 factor 564 -> 310 ms, and
+    with 2 iterative-refinement passes the solve residual matches HIGHEST
+    (6.9e-6 vs 1.0e-5) at 422 vs 603 ms total for a 64-RHS solve. At
+    301^2 the kernel is op-issue-latency-bound and DEFAULT buys nothing
+    (measured and rejected, PERF_NOTES round 3) — hence the config knob
+    (SolverConfig.factor_precision) rather than an unconditional switch."""
     from .split_engine import BandedFactorCpx
     if keep_cropped is None:
         keep_cropped = jax.default_backend() == "cpu"
     g, g_pad = factor_g_pallas(coeffs, interpret=interpret, folded=folded,
-                               crop=keep_cropped)
+                               crop=keep_cropped,
+                               panel_precision=panel_precision)
     return BandedFactorCpx(g=g, coeffs=coeffs, g_pad=g_pad)

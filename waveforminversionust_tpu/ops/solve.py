@@ -502,7 +502,9 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
         mode = "pallas" if use_pallas else "thomas"
     if mode == "pallas":
         from .pallas_factor import banded_factor_pallas
-        return banded_factor_pallas(coeffs)
+        pp = (jax.lax.Precision.DEFAULT if cfg.factor_precision == "default"
+              else jax.lax.Precision.HIGHEST)
+        return banded_factor_pallas(coeffs, panel_precision=pp)
     if mode == "cr":
         return cr_factor_cpx(coeffs)
     if mode == "thomas":
