@@ -16,9 +16,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-dominated (the banded
 # factorization scans take tens of seconds to compile); repeat runs reuse
-# executables keyed by HLO hash. The populated cache (a few MB) is committed
-# so fresh checkouts on the same container image run the suite ~2x faster;
-# it is content-addressed, so a mismatching environment just recompiles.
+# executables keyed by HLO hash (~2x faster reruns). The entries are local
+# artifacts (gitignored). If a run is killed mid-write it can leave a
+# truncated entry that SEGFAULTS jax on the next read — `rm -rf
+# tests/.jax_cache` and rerun if the suite dies inside
+# compilation_cache.get_executable_and_time.
 _CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
