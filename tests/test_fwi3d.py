@@ -198,3 +198,21 @@ def test_tiny_3d_inversion_reduces_misfit():
     # the update moves toward the true blob (positive dc at the center)
     c = tuple(s // 2 for s in grid.shape)
     assert float(vel[c]) > C0
+
+
+def test_tiny_3d_preconditioned_inversion_reduces_misfit():
+    """FWIConfig.precondition="illumination" in the 3D loop (2D-parity
+    feature; same diagonal pseudo-Hessian scaling, illumination summed
+    over the transmit batch)."""
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=3, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0),
+                    precondition="illumination")
+    vel, metrics = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                   iter_cap=ITER_CAP)
+    losses = np.asarray(metrics.loss)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < 0.7 * losses[0], losses
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(vel[c]) > C0

@@ -30,7 +30,8 @@ from ..models.grid3d import Grid3D
 from ..ops import cpx
 from ..ops.born3d import born_series_solve_3d
 from ..ops.cpx import Cpx
-from .objective import estimate_source_strengths, misfit
+from .objective import (estimate_source_strengths, illumination_map, misfit,
+                        precondition_gradient)
 from .optimizers import CGMetrics, _momentum, _step_size
 
 
@@ -76,11 +77,16 @@ def scatter_to_volumes_3d(values: Cpx, rx_idx, shape) -> Cpx:
 
 def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
                         pml: PMLConfig, iter_cap: int,
-                        estimate_source: bool = True):
+                        estimate_source: bool = True,
+                        fwi_precondition=None,
+                        fwi_precondition_eps: float = 1e-2):
     """One forward + one adjoint solve -> (loss, gradient, virt, rec_sim).
 
     The same adjoint-state identity as 2D (reference: nonlinearcg.py:118-127)
     with the lossless 3D Frechet factor 2 omega^2 slow.
+    ``fwi_precondition="illumination"`` applies the same diagonal
+    pseudo-Hessian scaling as the 2D loop (illumination summed over the
+    transmit batch; see objective.illumination_map).
     """
     wv, _ = born_series_solve_3d(vel, data.src, data.f, grid, pml,
                                  iter_cap=iter_cap,
@@ -110,6 +116,9 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
         virt = cpx.mul(wv, Cpx(jnp.broadcast_to(fr, wv.re.shape),
                                jnp.broadcast_to(fi, wv.im.shape)))
     grad = -jnp.sum(virt.re * adj_wv.re + virt.im * adj_wv.im, axis=0)
+    if fwi_precondition == "illumination":
+        grad = precondition_gradient(grad, illumination_map(wv),
+                                     fwi_precondition_eps)
     return loss, grad, virt, rec_sim
 
 
@@ -131,7 +140,9 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
         vel, slow, sd, gprev = state
         loss, grad, virt, rec_sim = objective_pieces_3d(
             vel, slow, data, grid, pml, iter_cap,
-            estimate_source=fwi.estimate_source_strength)
+            estimate_source=fwi.estimate_source_strength,
+            fwi_precondition=fwi.precondition,
+            fwi_precondition_eps=fwi.precondition_eps)
 
         beta = _momentum(fwi.momentum, it, grad, gprev, sd,
                          fwi.eps_stabilizer)
