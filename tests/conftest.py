@@ -14,16 +14,17 @@ os.environ.setdefault("XLA_FLAGS",
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the suite is compile-dominated (the banded
-# factorization scans take tens of seconds to compile); repeat runs reuse
-# executables keyed by HLO hash (~2x faster reruns). The entries are local
-# artifacts (gitignored). If a run is killed mid-write it can leave a
-# truncated entry that SEGFAULTS jax on the next read — `rm -rf
-# tests/.jax_cache` and rerun if the suite dies inside
-# compilation_cache.get_executable_and_time.
-_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The persistent compilation cache is deliberately DISABLED for the suite:
+# on this image (jax 0.9 / XLA:CPU AOT), deserializing certain large cached
+# executables (the banded-factorization scans) SEGFAULTS inside
+# backend.deserialize_executable — two full-suite runs died at the same
+# compilation_cache.get_executable_and_time frame (2026-08-17), one of them
+# reading an entry written moments earlier by the same process, and the
+# cpu_aot_loader logs machine-feature mismatches ("+prefer-no-scatter …
+# could lead to execution errors such as SIGILL") even on the machine that
+# compiled the entry. Recompiling duplicates across test modules costs
+# ~2x suite wall time; a suite that segfaults at 87% costs more.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
