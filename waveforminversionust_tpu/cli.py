@@ -48,7 +48,16 @@ def _run_alpha_inversion(args, ds, grid, solver, fwi):
     print(f"alpha range: {float(np.min(res.attenuation)):.1f} .. "
           f"{float(np.max(res.attenuation)):.1f} Np/m")
     if args.out:
-        np.save(args.out, np.asarray(res.attenuation))
+        if args.out.endswith(".mat"):
+            from .data.matio import save_mat
+            save_mat(args.out, {
+                "ALPHA_F": np.asarray(res.attenuation, np.float64),
+                "VEL_F": np.asarray(res.velocity, np.float64),
+                "xi": np.asarray(grid.x, np.float64),
+                "yi": np.asarray(grid.y, np.float64),
+            })
+        else:
+            np.save(args.out, np.asarray(res.attenuation))
         print("attenuation map written to", args.out)
     if args.plot:
         import matplotlib
@@ -143,7 +152,19 @@ def _cmd_run(args):
                              path=args.plot.replace(".png", "_conv.png"))
         print("plots written to", args.plot)
     if args.out:
-        np.save(args.out, res.velocity)
+        if args.out.endswith(".mat"):
+            # MATLAB-compatible export mirroring the reference's workspace
+            # variables (VEL_F the recovered map; xi/yi the inversion grid —
+            # reference: FrequencyDomainFWI.m:49-55, nonlinearcg.py:41-55).
+            from .data.matio import save_mat
+            save_mat(args.out, {
+                "VEL_F": np.asarray(res.velocity, np.float64),
+                "xi": np.asarray(res.grid.x, np.float64),
+                "yi": np.asarray(res.grid.y, np.float64),
+                "loss": np.asarray(res.metrics["loss"], np.float64),
+            })
+        else:
+            np.save(args.out, res.velocity)
         print("velocity saved to", args.out)
 
 
@@ -214,7 +235,10 @@ def main(argv=None):
                     help="multi-frequency continuation schedule [Hz]")
     pr.add_argument("--checkpoint-dir", default=None)
     pr.add_argument("--plot", default=None, help="output PNG path")
-    pr.add_argument("--out", default=None, help="output .npy velocity path")
+    pr.add_argument("--out", default=None,
+                    help="output velocity path: .npy, or .mat for a "
+                         "MATLAB-compatible export (VEL_F/xi/yi/loss, "
+                         "mirroring the reference's workspace variables)")
     pr.add_argument("--grid-xmax", type=float, default=None,
                     help="reconstruction grid half-width [m] (default 120e-3)")
     pr.add_argument("--grid-dx", type=float, default=0.8e-3)
