@@ -112,3 +112,27 @@ def test_cli_alpha_inversion(tmp_path):
     import numpy as np
     a = np.load(tmp_path / "alpha.npy")
     assert a.shape == (31, 31) and np.all(np.isfinite(a))
+
+
+def test_cli_mat_export(tmp_path):
+    """--out file.mat writes a MATLAB-compatible export of the recovered
+    map (VEL_F/xi/yi/loss — the reference's workspace variable names,
+    FrequencyDomainFWI.m:49-55 / nonlinearcg.py:41-55) that round-trips
+    through the v7.3 reader."""
+    import numpy as np
+
+    from waveforminversionust_tpu.cli import main
+    from waveforminversionust_tpu.data.matio import load_mat
+    data_path = str(tmp_path / "tiny.mat")
+    main(["simulate", data_path, "--xmax", "12e-3", "--dx", "0.4e-3",
+          "--elements", "16", "--radius", "9e-3", "--frequency", "200e3"])
+    out = tmp_path / "recon.mat"
+    main(["run", data_path, "--iterations", "1",
+          "--grid-xmax", "12e-3", "--grid-dx", "0.8e-3",
+          "--elements", "16", "--radius", "9e-3", "--exclude", "2",
+          "--precondition", "illumination",
+          "--out", str(out)])
+    d = load_mat(str(out))
+    assert d["VEL_F"].shape == (31, 31)
+    assert d["xi"].size == 31 and d["yi"].size == 31
+    assert d["loss"].size == 1 and np.all(np.isfinite(d["loss"]))
