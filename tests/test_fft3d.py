@@ -1,0 +1,94 @@
+"""Distributed (pencil) 3D FFT + grid-sharded 3D CBS solver
+(parallel/fft3d.py) on the virtual 8-device mesh.
+
+The 3D operator is global in k-space, so its grid axis shards via a
+distributed transform (two all_to_alls per application), not halo
+exchange; these tests pin sharded == unsharded for the transform itself
+and for the full Born solve (lossless, lossy, adjoint) — the 3D
+counterpart of the 2D SPIKE parity suite (tests/test_spike.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from waveforminversionust_tpu.config import PMLConfig
+from waveforminversionust_tpu.models.grid3d import Grid3D
+from waveforminversionust_tpu.ops import cpx
+from waveforminversionust_tpu.ops.born3d import born_series_solve_3d
+from waveforminversionust_tpu.parallel.fft3d import (
+    born_series_solve_3d_sharded, fft3_sharded, ifft3_sharded)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device CPU mesh")
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("grid",))
+
+
+def _grid(nz=16, ny=24, nx=11):
+    return Grid3D(nx=nx, ny=ny, nz=nz, dx=1e-3, dy=1e-3, dz=1e-3,
+                  x0=-(nx - 1) * 0.5e-3, y0=-(ny - 1) * 0.5e-3,
+                  z0=-(nz - 1) * 0.5e-3)
+
+
+def _to_np(u):
+    return np.asarray(u.re) + 1j * np.asarray(u.im)
+
+
+def test_pencil_fft_matches_fftn():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 16, 24, 10))
+         + 1j * rng.standard_normal((2, 16, 24, 10))).astype(np.complex64)
+    xk = fft3_sharded(cpx.of(x), _mesh())
+    ref = np.fft.fftn(x, axes=(-3, -2, -1))
+    rel = np.linalg.norm(_to_np(xk) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5, rel
+
+
+def test_pencil_fft_roundtrip():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1, 8, 8, 6))
+         + 1j * rng.standard_normal((1, 8, 8, 6))).astype(np.complex64)
+    mesh = _mesh()
+    back = ifft3_sharded(fft3_sharded(cpx.of(x), mesh), mesh)
+    rel = np.linalg.norm(_to_np(back) - x) / np.linalg.norm(x)
+    assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("mode", ["lossless", "lossy", "adjoint"])
+def test_sharded_born3d_matches_unsharded(mode):
+    grid = _grid()
+    nz, ny, nx = grid.shape
+    rng = np.random.default_rng(2)
+    vel = np.clip(1500 + 40 * rng.standard_normal((nz, ny, nx)),
+                  1400, 1600).astype(np.float32)
+    src = np.zeros((2, nz, ny, nx), np.complex64)
+    src[0, nz // 2, ny // 2, nx // 2] = 1
+    src[1, nz // 3, ny // 3, nx // 2] = 1
+    pml = PMLConfig(a0=20.0, l_pml=3e-3)
+    kw = {}
+    if mode == "lossy":
+        kw["attenuation"] = 5.0 * np.abs(
+            rng.standard_normal((nz, ny, nx))).astype(np.float32)
+    if mode == "adjoint":
+        kw["adjoint"] = True
+    u_ref, n_ref = born_series_solve_3d(vel, src, 200e3, grid, pml,
+                                        iter_cap=200, **kw)
+    u_sh, n_sh = born_series_solve_3d_sharded(vel, src, 200e3, grid,
+                                              _mesh(), pml, iter_cap=200,
+                                              **kw)
+    assert int(n_ref) == int(n_sh)
+    a, b = _to_np(u_ref), _to_np(u_sh)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-4, rel
+
+
+def test_sharded_born3d_rejects_indivisible():
+    grid = _grid(nz=12, ny=24)  # 12 % 8 != 0
+    src = np.zeros((1,) + grid.shape, np.complex64)
+    with pytest.raises(ValueError, match="must divide"):
+        born_series_solve_3d_sharded(np.full(grid.shape, 1500.0, np.float32),
+                                     src, 200e3, grid, _mesh())
