@@ -92,3 +92,68 @@ def test_sharded_born3d_rejects_indivisible():
     with pytest.raises(ValueError, match="must divide"):
         born_series_solve_3d_sharded(np.full(grid.shape, 1500.0, np.float32),
                                      src, 200e3, grid, _mesh())
+
+
+def test_grid_sharded_3d_cg_matches_single_device():
+    """nonlinear_cg_3d(mesh=...) — the whole 3D inversion with every solve
+    running the distributed pencil-FFT CBS over z-slabs — reproduces the
+    single-device trajectory (the 3D counterpart of the 2D SPIKE test
+    tests/test_spike.py::test_grid_sharded_cg_matches_single_device)."""
+    import jax.numpy as jnp
+
+    from waveforminversionust_tpu import FWIConfig
+    from waveforminversionust_tpu.fwi.fwi3d import (build_fwi_data_3d,
+                                                    nonlinear_cg_3d,
+                                                    sample_receivers_3d)
+    from waveforminversionust_tpu.models.acquisition3d import (
+        build_acquisition3d, cylinder_positions, source_fields_3d)
+
+    # Mirror tests/test_fwi3d._problem (a known-well-conditioned tiny 3D
+    # inversion: 25^3-class grid, 8-element ring at 8 mm) with nz/ny
+    # adjusted to multiples of the 8-way mesh.
+    from waveforminversionust_tpu.ops import cpx as cpxlib
+
+    C0, F = 1500.0, 200e3
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    nz, ny, nx = 24, 24, 25
+    grid = Grid3D(nx=nx, ny=ny, nz=nz, dx=1e-3, dy=1e-3, dz=1e-3,
+                  x0=-(nx - 1) * 0.5e-3, y0=-(ny - 1) * 0.5e-3,
+                  z0=-(nz - 1) * 0.5e-3)
+    z = grid.z0 + grid.dz * np.arange(nz)
+    y = grid.y0 + grid.dy * np.arange(ny)
+    x = grid.x0 + grid.dx * np.arange(nx)
+    r2 = (z[:, None, None] ** 2 + y[None, :, None] ** 2
+          + x[None, None, :] ** 2)
+    vel_true = (C0 + 40 * np.exp(-r2 / 4e-3 ** 2)).astype(np.float32)
+
+    pos = cylinder_positions(1, 8, 8e-3, 0.0)
+    acq = build_acquisition3d(grid, pos, min_angle=0.8)
+    src = source_fields_3d(acq, grid)
+    wv, _ = born_series_solve_3d(vel_true, src, F, grid, pml, iter_cap=500)
+    rec_obs = sample_receivers_3d(wv, np.asarray(acq.rx_idx))
+    data = build_fwi_data_3d(acq, rec_obs, F, grid)
+    # Rescale the one-hot-source problem into f32's normal range: the raw
+    # receiver perturbations are ~1e-19, so the line-search denominator
+    # |drec|^2 ~ 6e-37 sits at the f32 denormal boundary, where different
+    # XLA fusion orders (sharded vs not) give O(10%) step-size noise and
+    # reject_nonfinite kills later iterations in BOTH paths. Scaling src
+    # and rec_obs together is exact (the problem is linear in the source).
+    S = 1e6
+    data = data._replace(src=cpxlib.scale(data.src, S),
+                         rec_obs=cpxlib.scale(data.rec_obs, S))
+
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=3, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    v_ref, m_ref = nonlinear_cg_3d(vel0, data, grid, fwi, pml=pml,
+                                   iter_cap=500)
+    v_sh, m_sh = nonlinear_cg_3d(vel0, data, grid, fwi, pml=pml,
+                                 iter_cap=500, mesh=_mesh())
+    loss_ref = np.asarray(m_ref.loss)
+    loss_sh = np.asarray(m_sh.loss)
+    assert loss_ref[-1] < 0.1 * loss_ref[0], loss_ref  # real convergence
+    np.testing.assert_allclose(loss_sh, loss_ref, rtol=1e-2)
+    dv_ref = np.asarray(v_ref) - C0
+    dv_sh = np.asarray(v_sh) - C0
+    rel = np.linalg.norm(dv_sh - dv_ref) / max(np.linalg.norm(dv_ref), 1e-30)
+    assert rel < 5e-3, rel  # measured 3.1e-4

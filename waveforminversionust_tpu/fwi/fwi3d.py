@@ -75,22 +75,37 @@ def scatter_to_volumes_3d(values: Cpx, rx_idx, shape) -> Cpx:
                z.at[tx, iz, iy, ix].add(values.im))
 
 
+def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
+                   mesh=None, grid_axis: str = "grid"):
+    """Solver closure: the plain CBS solve, or — with a mesh — the
+    grid-sharded pencil-FFT solve (parallel.fft3d), one z-slab per device."""
+    if mesh is None:
+        return partial(born_series_solve_3d, grid=grid, pml=pml,
+                       iter_cap=iter_cap)
+    from ..parallel.fft3d import born_series_solve_3d_sharded
+    return partial(born_series_solve_3d_sharded, grid=grid, mesh=mesh,
+                   pml=pml, iter_cap=iter_cap, grid_axis=grid_axis)
+
+
 def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
                         pml: PMLConfig, iter_cap: int,
                         estimate_source: bool = True,
                         fwi_precondition=None,
-                        fwi_precondition_eps: float = 1e-2):
+                        fwi_precondition_eps: float = 1e-2,
+                        solve=None):
     """One forward + one adjoint solve -> (loss, gradient, virt, rec_sim).
 
     The same adjoint-state identity as 2D (reference: nonlinearcg.py:118-127)
     with the lossless 3D Frechet factor 2 omega^2 slow.
     ``fwi_precondition="illumination"`` applies the same diagonal
     pseudo-Hessian scaling as the 2D loop (illumination summed over the
-    transmit batch; see objective.illumination_map).
+    transmit batch; see objective.illumination_map). ``solve`` overrides
+    the Helmholtz solver (see :func:`_make_solve_3d`).
     """
-    wv, _ = born_series_solve_3d(vel, data.src, data.f, grid, pml,
-                                 iter_cap=iter_cap,
-                                 attenuation=data.attenuation)
+    if solve is None:
+        solve = _make_solve_3d(grid, pml, iter_cap)
+    wv, _ = solve(vel, data.src, data.f,
+                  attenuation=data.attenuation)
     rec_sim = sample_receivers_3d(wv, data.rx_idx)
     if estimate_source:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)
@@ -101,9 +116,8 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     loss = misfit(rec_sim, data.rec_obs)
 
     adj_src = scatter_to_volumes_3d(residual, data.rx_idx, grid.shape)
-    adj_wv, _ = born_series_solve_3d(vel, adj_src, data.f, grid, pml,
-                                     adjoint=True, iter_cap=iter_cap,
-                                     attenuation=data.attenuation)
+    adj_wv, _ = solve(vel, adj_src, data.f, adjoint=True,
+                      attenuation=data.attenuation)
     omega = 2 * jnp.pi * data.f
     # Lossy Frechet factor dk^2/dslow = 2 omega (omega slow + i sgn alpha)
     # — identical to the 2D objective.virtual_source.
@@ -123,18 +137,29 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
 
 
 @partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
-                                   "pml", "iter_cap"))
+                                   "pml", "iter_cap", "mesh", "grid_axis"))
 def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     fwi: FWIConfig = FWIConfig(),
                     num_iterations: int | None = None,
                     pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
-                    iter_cap: int = 600):
+                    iter_cap: int = 600, mesh=None,
+                    grid_axis: str = "grid"):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
+
+    ``mesh``/``grid_axis``: run every Helmholtz solve grid-sharded — the
+    distributed pencil-FFT CBS over z-slabs (parallel.fft3d), one nz/P
+    slab per device, so volumes beyond one chip's HBM invert end to end
+    (the 3D counterpart of the 2D SPIKE wiring in optimizers.nonlinear_cg;
+    requires nz % P == 0 and ny % P == 0). The rest of the step (gathers,
+    reductions, model update) stays global-view and GSPMD inserts the
+    collectives. Verified sharded == unsharded in tests/test_fft3d.py.
 
     Returns (velocity (nz, ny, nx), CGMetrics history).
     """
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
+    solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
+                           grid_axis=grid_axis)
 
     def step(state, it):
         vel, slow, sd, gprev = state
@@ -142,7 +167,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
             vel, slow, data, grid, pml, iter_cap,
             estimate_source=fwi.estimate_source_strength,
             fwi_precondition=fwi.precondition,
-            fwi_precondition_eps=fwi.precondition_eps)
+            fwi_precondition_eps=fwi.precondition_eps,
+            solve=solve)
 
         beta = _momentum(fwi.momentum, it, grad, gprev, sd,
                          fwi.eps_stabilizer)
@@ -151,9 +177,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
         # Linearized line search: third solve with the perturbation source
         # -virt * sd (reference: nonlinearcg.py:140-159).
         pert_src = cpx.mul(virt, Cpx(-sd_new[None], jnp.zeros_like(sd_new)[None]))
-        pert, _ = born_series_solve_3d(vel, pert_src, data.f, grid, pml,
-                                       iter_cap=iter_cap,
-                                       attenuation=data.attenuation)
+        pert, _ = solve(vel, pert_src, data.f,
+                        attenuation=data.attenuation)
         drec = sample_receivers_3d(pert, data.rx_idx)
         # Full 3-formula step matrix, shared with the 2D loop (reference:
         # FrequencyDomainFWI.m:42-45, 149-172).
