@@ -25,6 +25,13 @@ the framework's grid axis (2D: SPIKE direct solves, :mod:`.spike`) to the
 
 Constraints: ``nz % P == 0`` and ``ny % P == 0`` (equal all_to_all splits).
 Split-complex throughout (:class:`..ops.cpx.Cpx`).
+
+Runtime note: verified on the virtual CPU mesh (tests/test_fft3d.py) and
+designed for real multi-chip pods. On the tunneled single-real-chip axon
+runtime the shard_map+all_to_all lowering stalls in compilation (>10 min
+even for tiny volumes; the UNSHARDED ops.born3d compiles fine there) —
+on that runtime use the unsharded solver; there is nothing to shard over
+one chip anyway.
 """
 
 from __future__ import annotations
