@@ -27,11 +27,11 @@ Constraints: ``nz % P == 0`` and ``ny % P == 0`` (equal all_to_all splits).
 Split-complex throughout (:class:`..ops.cpx.Cpx`).
 
 Runtime note: verified on the virtual CPU mesh (tests/test_fft3d.py) and
-designed for real multi-chip pods. On the tunneled single-real-chip axon
-runtime the shard_map+all_to_all lowering stalls in compilation (>10 min
-even for tiny volumes; the UNSHARDED ops.born3d compiles fine there) —
-on that runtime use the unsharded solver; there is nothing to shard over
-one chip anyway.
+on the axon TPU runtime under ``jax.jit`` (a 1-device mesh solve runs in
+~1.7 s warm+compile). As with everything on that tunneled runtime, call
+it INSIDE a jit — the eager path dispatches per-op remote compiles and
+appears to hang (.claude/skills/verify gotcha #1); ``nonlinear_cg_3d``
+is jitted and needs no care.
 """
 
 from __future__ import annotations
