@@ -56,3 +56,64 @@ def test_3d_heterogeneous_finite_and_scattering():
     u0n = cpx.to_numpy(u0)
     rel = np.linalg.norm(un - u0n) / np.linalg.norm(u0n)
     assert 0.01 < rel < 1.0
+
+
+def test_3d_gmres_matches_fixed_point():
+    """Krylov-accelerated 3D CBS (born_gmres_solve_3d): reaches a lower
+    preconditioned residual than the physics-count fixed point in no more
+    matvecs, and agrees with it in the field."""
+    from waveforminversionust_tpu.ops.born3d import (born_gmres_solve_3d,
+                                                     born_operator_3d)
+
+    c0 = 1500.0
+    f = 250e3
+    grid = Grid3D.centered(18e-3, 1.5e-3)  # 25^3
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    Z, Y, X = grid.meshgrid()
+    vel = (c0 + 60 * np.exp(-(X ** 2 + Y ** 2 + Z ** 2)
+                            / (2 * (4e-3) ** 2))).astype(np.float32)
+    rng = np.random.default_rng(3)
+    src = (rng.standard_normal((2,) + grid.shape)
+           + 1j * rng.standard_normal((2,) + grid.shape)).astype(np.complex64)
+
+    def relres(u):
+        greens, v_pot, gamma, _ = born_operator_3d(vel, f, grid, pml)
+        b = -cpx.mul(gamma, greens(cpx.of(src)))
+        r = b - cpx.mul(gamma, u - greens(cpx.mul(v_pot, u)))
+        return float(jnp.sqrt(jnp.sum(r.re ** 2 + r.im ** 2)
+                              / jnp.sum(b.re ** 2 + b.im ** 2)))
+
+    u_fp, n_fp = born_series_solve_3d(vel, src, f, grid, pml, iter_cap=2000)
+    # Same matvec budget (up to one restart cycle of overshoot): GMRES must
+    # end at a LOWER preconditioned residual than the fixed point.
+    u_gm, n_gm = born_gmres_solve_3d(vel, src, f, grid, pml, tol=1e-4,
+                                     maxiter=int(n_fp), restart=8)
+    res_fp, res_gm = relres(u_fp), relres(u_gm)
+    assert int(n_gm) <= int(n_fp) + 9, (int(n_gm), int(n_fp))
+    assert res_gm < res_fp, (res_gm, res_fp)
+    d = np.linalg.norm(cpx.to_numpy(u_gm) - cpx.to_numpy(u_fp))
+    assert d / np.linalg.norm(cpx.to_numpy(u_fp)) < 0.05
+
+
+def test_3d_gmres_adjoint_lossy():
+    """GMRES-CBS adjoint + attenuation variants match the fixed point."""
+    from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
+
+    c0 = 1500.0
+    f = 250e3
+    grid = Grid3D.centered(15e-3, 1.5e-3)  # 21^3
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    Z, Y, X = grid.meshgrid()
+    r2 = X ** 2 + Y ** 2 + Z ** 2
+    vel = (c0 + 40 * np.exp(-r2 / (2 * (4e-3) ** 2))).astype(np.float32)
+    alpha = (8.0 * np.exp(-r2 / (2 * (3e-3) ** 2))).astype(np.float32)
+    rng = np.random.default_rng(4)
+    src = (rng.standard_normal((1,) + grid.shape)
+           + 1j * rng.standard_normal((1,) + grid.shape)).astype(np.complex64)
+
+    u_fp, _ = born_series_solve_3d(vel, src, f, grid, pml, adjoint=True,
+                                   iter_cap=2000, attenuation=alpha)
+    u_gm, _ = born_gmres_solve_3d(vel, src, f, grid, pml, adjoint=True,
+                                  tol=1e-5, maxiter=600, attenuation=alpha)
+    d = np.linalg.norm(cpx.to_numpy(u_gm) - cpx.to_numpy(u_fp))
+    assert d / np.linalg.norm(cpx.to_numpy(u_fp)) < 0.05

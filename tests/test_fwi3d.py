@@ -216,3 +216,31 @@ def test_tiny_3d_preconditioned_inversion_reduces_misfit():
     assert losses[-1] < 0.7 * losses[0], losses
     c = tuple(s // 2 for s in grid.shape)
     assert float(vel[c]) > C0
+
+
+def test_tiny_3d_gmres_inversion_reduces_misfit():
+    """solver3d="gmres" (Krylov-accelerated CBS in every solve of the 3D
+    CG loop) inverts the tiny problem: finite, decreasing misfit and the
+    update moves toward the true blob. (No trajectory-match assertion:
+    at this one-hot scale ~half the initial misfit is solver truncation
+    noise — rec_obs carries the fixed-point CBS's residual — so CBS- and
+    GMRES-driven trajectories legitimately diverge; solution-level solver
+    agreement is covered in tests/test_born3d.py.)"""
+    grid, acq, vel_true, data = _problem()
+    # Keep |rhs|^2 in f32's normal range (exact: the problem is linear in
+    # the source) — at the one-hot test scale the adjoint-source norm is
+    # ~1e-36, under GMRES's f32 floor (see tests/test_fft3d.py on the
+    # denormal pitfall).
+    data = data._replace(src=cpx.scale(data.src, 1e6),
+                         rec_obs=cpx.scale(data.rec_obs, 1e6))
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    v_gm, m_gm = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                 iter_cap=ITER_CAP, solver3d="gmres",
+                                 gmres_tol=1e-4)
+    l_gm = np.asarray(m_gm.loss)
+    assert np.all(np.isfinite(l_gm))
+    assert l_gm[-1] < 0.9 * l_gm[0], l_gm
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(v_gm[c]) > C0

@@ -76,12 +76,27 @@ def scatter_to_volumes_3d(values: Cpx, rx_idx, shape) -> Cpx:
 
 
 def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
-                   mesh=None, grid_axis: str = "grid"):
-    """Solver closure: the plain CBS solve, or — with a mesh — the
-    grid-sharded pencil-FFT solve (parallel.fft3d), one z-slab per device."""
+                   mesh=None, grid_axis: str = "grid",
+                   solver3d: str = "cbs", gmres_tol: float = 2e-3,
+                   gmres_restart: int = 8):
+    """Solver closure: the plain CBS solve, the Krylov-accelerated CBS
+    (``solver3d="gmres"``: same FFT-pair cost per matvec, typically 2-5x
+    fewer of them — ops.born3d.born_gmres_solve_3d), or — with a mesh —
+    the grid-sharded pencil-FFT solve (parallel.fft3d), one z-slab per
+    device."""
     if mesh is None:
+        if solver3d == "gmres":
+            from ..ops.born3d import born_gmres_solve_3d
+            return partial(born_gmres_solve_3d, grid=grid, pml=pml,
+                           maxiter=iter_cap, tol=gmres_tol,
+                           restart=gmres_restart)
         return partial(born_series_solve_3d, grid=grid, pml=pml,
                        iter_cap=iter_cap)
+    if solver3d == "gmres":
+        raise ValueError(
+            "solver3d='gmres' is single-device; the grid-sharded path "
+            "(mesh=) runs the fixed-point CBS under shard_map "
+            "(parallel.fft3d)")
     from ..parallel.fft3d import born_series_solve_3d_sharded
     return partial(born_series_solve_3d_sharded, grid=grid, mesh=mesh,
                    pml=pml, iter_cap=iter_cap, grid_axis=grid_axis)
@@ -137,14 +152,21 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
 
 
 @partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
-                                   "pml", "iter_cap", "mesh", "grid_axis"))
+                                   "pml", "iter_cap", "mesh", "grid_axis",
+                                   "solver3d", "gmres_tol", "gmres_restart"))
 def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     fwi: FWIConfig = FWIConfig(),
                     num_iterations: int | None = None,
                     pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
                     iter_cap: int = 600, mesh=None,
-                    grid_axis: str = "grid"):
+                    grid_axis: str = "grid", solver3d: str = "cbs",
+                    gmres_tol: float = 2e-3, gmres_restart: int = 8):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
+
+    ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
+    (ops.born3d.born_gmres_solve_3d; ``iter_cap`` becomes the matvec cap)
+    — same cost per matvec, typically several-fold fewer matvecs than the
+    physics-derived fixed-point count. Single-device only.
 
     ``mesh``/``grid_axis``: run every Helmholtz solve grid-sharded — the
     distributed pencil-FFT CBS over z-slabs (parallel.fft3d), one nz/P
@@ -159,7 +181,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
     solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
-                           grid_axis=grid_axis)
+                           grid_axis=grid_axis, solver3d=solver3d,
+                           gmres_tol=gmres_tol, gmres_restart=gmres_restart)
 
     def step(state, it):
         vel, slow, sd, gprev = state

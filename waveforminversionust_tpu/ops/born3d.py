@@ -133,3 +133,40 @@ def born_series_solve_3d(vel, src, f, grid: Grid3D,
     u0 = cpx.zeros(src.shape)
     u = jax.lax.fori_loop(0, n_iter, body, u0)
     return u, n_iter
+
+
+def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
+                        pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
+                        adjoint: bool = False, n_order: int = 9,
+                        tol: float = 1e-5, maxiter: int = 600,
+                        restart: int = 16, attenuation=None):
+    """Krylov-accelerated 3D convergent Born series (split-complex).
+
+    The 3D analog of 2D :func:`..born.born_gmres_solve`: the CBS fixed
+    point ``u <- u - gamma (u - G(Vu - src))`` is a Richardson iteration
+    on ``A u = b`` with ``A = gamma (I - G V)`` and ``b = -gamma G src``,
+    whose spectrum lies inside the unit disk centered at 1 (the CBS
+    convergence bound). Restarted GMRES on the SAME preconditioned
+    operator minimizes the residual over the Krylov space instead of
+    taking fixed-point steps — each matvec costs exactly one 3D FFT pair,
+    the same as one CBS iteration, so the matvec count IS the speedup
+    ratio. On the physics-derived counts of realistic contrasts
+    (hundreds of CBS iterations per solve) this is the 3D hot-path
+    accelerator; the Arnoldi inner products add O(restart) volume passes
+    per cycle, negligible next to the FFTs.
+
+    Returns (wavefield Cpx (batch, nz, ny, nx), matvecs int32).
+    """
+    from .krylov import gmres_cpx
+
+    greens, v_pot, gamma, _ = born_operator_3d(vel, f, grid, pml, adjoint,
+                                               n_order,
+                                               attenuation=attenuation)
+    src = cpx.of(src)
+
+    def a_op(u):
+        return cpx.mul(gamma, u - greens(cpx.mul(v_pot, u)))
+
+    b = -cpx.mul(gamma, greens(src))
+    res = gmres_cpx(a_op, b, tol=tol, maxiter=maxiter, restart=restart)
+    return res.x, res.iterations
