@@ -117,3 +117,35 @@ def test_3d_gmres_adjoint_lossy():
                                   tol=1e-5, maxiter=600, attenuation=alpha)
     d = np.linalg.norm(cpx.to_numpy(u_gm) - cpx.to_numpy(u_fp))
     assert d / np.linalg.norm(cpx.to_numpy(u_fp)) < 0.05
+
+
+def test_3d_dft_spectral_matches_fft():
+    """The MXU DFT-as-matmul spectral path (spectral="dft") is numerically
+    the same transform as fftn: transform, round trip, and the whole CBS
+    solve agree with the FFT path (the TPU default for axes <= 128; on
+    CPU "auto" keeps fftn)."""
+    from waveforminversionust_tpu.ops.born3d import _dft3, _fft3
+
+    rng = np.random.default_rng(7)
+    x = cpx.of((rng.standard_normal((2, 12, 10, 14))
+                + 1j * rng.standard_normal((2, 12, 10, 14))
+                ).astype(np.complex64))
+    a, b = cpx.to_numpy(_fft3(x)), cpx.to_numpy(_dft3(x))
+    assert np.linalg.norm(np.abs(a - b)) / np.linalg.norm(np.abs(a)) < 1e-5
+    rt = cpx.to_numpy(_dft3(_dft3(x), inverse=True))
+    x0 = cpx.to_numpy(x)
+    assert np.linalg.norm(np.abs(rt - x0)) / np.linalg.norm(np.abs(x0)) < 1e-5
+
+    grid = Grid3D.centered(15e-3, 1.5e-3)  # 21^3
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    Z, Y, X = grid.meshgrid()
+    vel = (1500 + 50 * np.exp(-(X ** 2 + Y ** 2 + Z ** 2)
+                              / (2 * (4e-3) ** 2))).astype(np.float32)
+    src = (rng.standard_normal((1,) + grid.shape)
+           + 1j * rng.standard_normal((1,) + grid.shape)).astype(np.complex64)
+    u1, _ = born_series_solve_3d(vel, src, 250e3, grid, pml, iter_cap=800,
+                                 spectral="fft")
+    u2, _ = born_series_solve_3d(vel, src, 250e3, grid, pml, iter_cap=800,
+                                 spectral="dft")
+    d = np.linalg.norm(cpx.to_numpy(u2) - cpx.to_numpy(u1))
+    assert d / np.linalg.norm(cpx.to_numpy(u1)) < 1e-4

@@ -78,7 +78,7 @@ def scatter_to_volumes_3d(values: Cpx, rx_idx, shape) -> Cpx:
 def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
                    mesh=None, grid_axis: str = "grid",
                    solver3d: str = "cbs", gmres_tol: float = 2e-3,
-                   gmres_restart: int = 8):
+                   gmres_restart: int = 8, spectral: str = "auto"):
     """Solver closure: the plain CBS solve, the Krylov-accelerated CBS
     (``solver3d="gmres"``: same FFT-pair cost per matvec, typically 2-5x
     fewer of them — ops.born3d.born_gmres_solve_3d), or — with a mesh —
@@ -89,9 +89,9 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
             from ..ops.born3d import born_gmres_solve_3d
             return partial(born_gmres_solve_3d, grid=grid, pml=pml,
                            maxiter=iter_cap, tol=gmres_tol,
-                           restart=gmres_restart)
+                           restart=gmres_restart, spectral=spectral)
         return partial(born_series_solve_3d, grid=grid, pml=pml,
-                       iter_cap=iter_cap)
+                       iter_cap=iter_cap, spectral=spectral)
     if solver3d == "gmres":
         raise ValueError(
             "solver3d='gmres' is single-device; the grid-sharded path "
@@ -153,14 +153,16 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
 
 @partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
                                    "pml", "iter_cap", "mesh", "grid_axis",
-                                   "solver3d", "gmres_tol", "gmres_restart"))
+                                   "solver3d", "gmres_tol", "gmres_restart",
+                                   "spectral"))
 def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     fwi: FWIConfig = FWIConfig(),
                     num_iterations: int | None = None,
                     pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
                     iter_cap: int = 600, mesh=None,
                     grid_axis: str = "grid", solver3d: str = "cbs",
-                    gmres_tol: float = 2e-3, gmres_restart: int = 8):
+                    gmres_tol: float = 2e-3, gmres_restart: int = 8,
+                    spectral: str = "auto"):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
 
     ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
@@ -182,7 +184,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     vel0 = jnp.asarray(vel_init, jnp.float32)
     solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
                            grid_axis=grid_axis, solver3d=solver3d,
-                           gmres_tol=gmres_tol, gmres_restart=gmres_restart)
+                           gmres_tol=gmres_tol, gmres_restart=gmres_restart,
+                           spectral=spectral)
 
     def step(state, it):
         vel, slow, sd, gprev = state

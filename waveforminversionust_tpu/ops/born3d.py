@@ -14,10 +14,12 @@ Split-complex throughout (see :mod:`.cpx`).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PMLConfig
 from ..models.grid3d import Grid3D
@@ -37,10 +39,66 @@ def _ifft3(x: Cpx) -> Cpx:
     return Cpx(y.re / n, y.im / n)
 
 
+# DFT-as-matmul spectral transform: on the TPU the per-axis DFT is a
+# (n, n) matmul that runs on the MXU, while XLA's fftn lowers to VPU
+# butterflies. Measured on the real chip (PERF_NOTES round 3, f32/HIGHEST,
+# batch-16 volumes): 1.35x faster at 64^3, 4.2x at 96^3 (XLA FFT degrades
+# hard off powers of two), ~1.1x at 48, a wash at 32, and still 1.34x at
+# 128^3 — so "auto" takes the matmul path for axes <= _DFT_MAX_AXIS on
+# TPU backends. Cumulative transform error vs fftn is ~1e-5 over 50
+# round trips (HIGHEST contractions; DEFAULT/bf16 measured at 9e-2 and
+# rejected).
+_DFT_MAX_AXIS = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int):
+    k = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+_DFT_SPECS = ("...zyx,zw->...wyx", "...zyx,yw->...zwx", "...zyx,xw->...zyw")
+
+
+def _dft3(x: Cpx, inverse: bool = False) -> Cpx:
+    """3D DFT over the last three axes as three MXU matmul contractions
+    (numerically the same transform as :func:`_fft3` / its inverse)."""
+    dims = x.re.shape[-3:]
+    prec = jax.lax.Precision.HIGHEST
+    for spec, n in zip(_DFT_SPECS, dims):
+        wr, wi = _dft_mats(n)
+        if inverse:
+            wi = -wi
+        er_r = jnp.einsum(spec, x.re, wr, precision=prec)
+        er_i = jnp.einsum(spec, x.re, wi, precision=prec)
+        ei_r = jnp.einsum(spec, x.im, wr, precision=prec)
+        ei_i = jnp.einsum(spec, x.im, wi, precision=prec)
+        x = Cpx(er_r - ei_i, er_i + ei_r)
+    if inverse:
+        s = 1.0 / float(np.prod(dims))
+        x = Cpx(x.re * s, x.im * s)
+    return x
+
+
+def _use_dft(shape, spectral: str) -> bool:
+    if spectral == "dft":
+        return True
+    if spectral == "fft":
+        return False
+    if spectral != "auto":
+        raise ValueError(f"spectral must be auto|fft|dft, got {spectral!r}")
+    return (max(shape) <= _DFT_MAX_AXIS
+            and jax.default_backend() not in ("cpu",))
+
+
 def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
                      adjoint: bool = False, n_order: int = 9,
-                     attenuation=None):
+                     attenuation=None, spectral: str = "auto"):
     """3D CBS split: k-space Green's function, potential, preconditioner.
+
+    ``spectral``: "fft" (XLA fftn), "dft" (MXU matmul transform), or
+    "auto" (matmul on TPU for axes <= 128 — see :data:`_DFT_MAX_AXIS`).
 
     ``attenuation``: optional (nz, ny, nx) alpha map [Np/m] for lossy
     media — k = omega/c + i*sgn*alpha exactly as in the 2D engines
@@ -97,8 +155,12 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
 
     g0 = cpx.reciprocal(Cpx(p2 - k_0 ** 2, -eps * jnp.ones_like(p2)))
 
-    def greens(w: Cpx) -> Cpx:
-        return _ifft3(cpx.mul(g0, _fft3(w)))
+    if _use_dft(grid.shape, spectral):
+        def greens(w: Cpx) -> Cpx:
+            return _dft3(cpx.mul(g0, _dft3(w)), inverse=True)
+    else:
+        def greens(w: Cpx) -> Cpx:
+            return _ifft3(cpx.mul(g0, _fft3(w)))
 
     return greens, v_pot, gamma, n_iter
 
@@ -107,7 +169,7 @@ def born_series_solve_3d(vel, src, f, grid: Grid3D,
                          pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
                          adjoint: bool = False, n_order: int = 9,
                          iter_cap: int = 2000, iter_scale: float = 1.0,
-                         attenuation=None):
+                         attenuation=None, spectral: str = "auto"):
     """Solve the 3D Helmholtz equation by convergent Born series.
 
     Args:
@@ -122,7 +184,8 @@ def born_series_solve_3d(vel, src, f, grid: Grid3D,
     """
     greens, v_pot, gamma, n_heur = born_operator_3d(vel, f, grid, pml,
                                                     adjoint, n_order,
-                                                    attenuation=attenuation)
+                                                    attenuation=attenuation,
+                                                    spectral=spectral)
     n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
     src = cpx.of(src)
 
@@ -139,7 +202,8 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
                         pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
                         adjoint: bool = False, n_order: int = 9,
                         tol: float = 1e-5, maxiter: int = 600,
-                        restart: int = 16, attenuation=None):
+                        restart: int = 16, attenuation=None,
+                        spectral: str = "auto"):
     """Krylov-accelerated 3D convergent Born series (split-complex).
 
     The 3D analog of 2D :func:`..born.born_gmres_solve`: the CBS fixed
@@ -161,7 +225,8 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
 
     greens, v_pot, gamma, _ = born_operator_3d(vel, f, grid, pml, adjoint,
                                                n_order,
-                                               attenuation=attenuation)
+                                               attenuation=attenuation,
+                                               spectral=spectral)
     src = cpx.of(src)
 
     def a_op(u):
