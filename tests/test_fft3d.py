@@ -157,3 +157,35 @@ def test_grid_sharded_3d_cg_matches_single_device():
     dv_sh = np.asarray(v_sh) - C0
     rel = np.linalg.norm(dv_sh - dv_ref) / max(np.linalg.norm(dv_ref), 1e-30)
     assert rel < 5e-3, rel  # measured 3.1e-4
+
+
+def test_pencil_dft_spectral_matches_fftn():
+    """The MXU matmul local transforms (spectral="dft") through the pencil
+    path: forward == fftn and a solve matches the unsharded FFT solve."""
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((2, 16, 24, 10))
+         + 1j * rng.standard_normal((2, 16, 24, 10))).astype(np.complex64)
+    mesh = _mesh()
+    xk = fft3_sharded(cpx.of(x), mesh, spectral="dft")
+    ref = np.fft.fftn(x, axes=(-3, -2, -1))
+    rel = np.linalg.norm(_to_np(xk) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5, rel
+    back = ifft3_sharded(xk, mesh, spectral="dft")
+    rel2 = np.linalg.norm(_to_np(back) - x) / np.linalg.norm(x)
+    assert rel2 < 1e-5, rel2
+
+    grid = _grid()
+    z = grid.z0 + grid.dz * np.arange(grid.nz)
+    y = grid.y0 + grid.dy * np.arange(grid.ny)
+    xx = grid.x0 + grid.dx * np.arange(grid.nx)
+    r2 = (z[:, None, None] ** 2 + y[None, :, None] ** 2
+          + xx[None, None, :] ** 2)
+    vel = (1500 + 50 * np.exp(-r2 / 4e-3 ** 2)).astype(np.float32)
+    src = (rng.standard_normal((2,) + grid.shape)
+           + 1j * rng.standard_normal((2,) + grid.shape)).astype(np.complex64)
+    pml = PMLConfig(a0=20.0, l_pml=5e-3)
+    u_ref, _ = born_series_solve_3d(vel, src, 250e3, grid, pml, iter_cap=300)
+    u_sh, _ = born_series_solve_3d_sharded(vel, src, 250e3, grid, mesh, pml,
+                                           iter_cap=300, spectral="dft")
+    d = np.linalg.norm(_to_np(u_sh) - _to_np(u_ref))
+    assert d / np.linalg.norm(_to_np(u_ref)) < 1e-4, d

@@ -99,7 +99,8 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
             "(parallel.fft3d)")
     from ..parallel.fft3d import born_series_solve_3d_sharded
     return partial(born_series_solve_3d_sharded, grid=grid, mesh=mesh,
-                   pml=pml, iter_cap=iter_cap, grid_axis=grid_axis)
+                   pml=pml, iter_cap=iter_cap, grid_axis=grid_axis,
+                   spectral=spectral)
 
 
 def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
