@@ -94,7 +94,8 @@ def _use_dft(shape, spectral: str) -> bool:
 
 def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
                      adjoint: bool = False, n_order: int = 9,
-                     attenuation=None, spectral: str = "auto"):
+                     attenuation=None, spectral: str = "auto",
+                     shell_k0=None):
     """3D CBS split: k-space Green's function, potential, preconditioner.
 
     ``spectral``: "fft" (XLA fftn), "dft" (MXU matmul transform), or
@@ -105,7 +106,18 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
     (stencil.helmholtz_coefficients; the wavenumber is engine-agnostic),
     so k^2 gains Re -= alpha^2 and Im += 2*sgn*alpha*omega/c. The adjoint
     operator is the conjugate (complex-symmetric CBS), handled by the same
-    ``sign`` flip as the absorbing shell."""
+    ``sign`` flip as the absorbing shell.
+
+    ``shell_k0``: optional fixed wavenumber [rad/m] for the absorbing
+    shell's impedance tuning. Default None derives it from the medium
+    (sqrt of the mean k^2) with a ``stop_gradient``: the absorber is part
+    of the DISCRETIZATION, not the physics, so the model gradient must not
+    flow through it — otherwise every interior voxel picks up a spurious
+    O(1/N) mean-coupling term through the shell (measured at 2.2x the
+    physical gradient on a 25^3 toy where the shell is a large volume
+    fraction). Pass an explicit float (e.g. omega/c_background) to ALSO
+    freeze it functionally, which makes finite differences of a loss
+    through this operator match the adjoint-state/custom-VJP gradient."""
     nz, ny, nx = grid.shape
     sign = float(pml.sign_convention) * (-1.0 if adjoint else 1.0)
 
@@ -120,7 +132,10 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
 
     # Polynomial absorbing shell on all six faces.
     c_att = pml.a0 / pml.l_pml
-    k0_b = jnp.sqrt(jnp.mean(k_real ** 2))
+    if shell_k0 is None:
+        k0_b = jax.lax.stop_gradient(jnp.sqrt(jnp.mean(k_real ** 2)))
+    else:
+        k0_b = jnp.float32(shell_k0)
     x = jnp.asarray(grid.x, jnp.float32)
     y = jnp.asarray(grid.y, jnp.float32)
     z = jnp.asarray(grid.z, jnp.float32)
@@ -144,9 +159,12 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
         k2 = Cpx(k_real ** 2 + curve.re, curve.im)
     k = cpx.sqrt(k2)
 
-    k_0 = (jnp.min(k.re) + jnp.max(k.re)) / 2
+    # k_0 / eps only shape the G/V splitting (the preconditioner): the
+    # converged solution is independent of them, so gradients must not
+    # flow through these nonsmooth min/max reductions (truncation noise).
+    k_0 = jax.lax.stop_gradient((jnp.min(k.re) + jnp.max(k.re)) / 2)
     v_pot0 = Cpx(k2.re - k_0 ** 2, k2.im)
-    eps = jnp.max(cpx.absval(v_pot0)) * sign
+    eps = jax.lax.stop_gradient(jnp.max(cpx.absval(v_pot0))) * sign
     v_pot = Cpx(v_pot0.re, v_pot0.im - eps)
     gamma = cpx.mul(Cpx(jnp.zeros_like(eps), 1.0 / eps), v_pot)
 
@@ -169,7 +187,8 @@ def born_series_solve_3d(vel, src, f, grid: Grid3D,
                          pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
                          adjoint: bool = False, n_order: int = 9,
                          iter_cap: int = 2000, iter_scale: float = 1.0,
-                         attenuation=None, spectral: str = "auto"):
+                         attenuation=None, spectral: str = "auto",
+                         shell_k0=None):
     """Solve the 3D Helmholtz equation by convergent Born series.
 
     Args:
@@ -185,7 +204,8 @@ def born_series_solve_3d(vel, src, f, grid: Grid3D,
     greens, v_pot, gamma, n_heur = born_operator_3d(vel, f, grid, pml,
                                                     adjoint, n_order,
                                                     attenuation=attenuation,
-                                                    spectral=spectral)
+                                                    spectral=spectral,
+                                                    shell_k0=shell_k0)
     n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
     src = cpx.of(src)
 
@@ -203,7 +223,7 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
                         adjoint: bool = False, n_order: int = 9,
                         tol: float = 1e-5, maxiter: int = 600,
                         restart: int = 16, attenuation=None,
-                        spectral: str = "auto"):
+                        spectral: str = "auto", shell_k0=None):
     """Krylov-accelerated 3D convergent Born series (split-complex).
 
     The 3D analog of 2D :func:`..born.born_gmres_solve`: the CBS fixed
@@ -226,7 +246,8 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
     greens, v_pot, gamma, _ = born_operator_3d(vel, f, grid, pml, adjoint,
                                                n_order,
                                                attenuation=attenuation,
-                                               spectral=spectral)
+                                               spectral=spectral,
+                                               shell_k0=shell_k0)
     src = cpx.of(src)
 
     def a_op(u):
@@ -235,3 +256,75 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
     b = -cpx.mul(gamma, greens(src))
     res = gmres_cpx(a_op, b, tol=tol, maxiter=maxiter, restart=restart)
     return res.x, res.iterations
+
+
+# ---------------------------------------------------------------------------
+# Differentiable solve: continuous adjoint-state VJP (the 3D analog of the
+# 2D ops.solve._born_solve custom_vjp, solve.py:323-348)
+# ---------------------------------------------------------------------------
+
+def _born3d_diff_impl(vel, rhs: Cpx, f, grid, pml, iter_cap, spectral,
+                      use_gmres, tol, restart, adjoint, shell_k0):
+    if use_gmres:
+        u, _ = born_gmres_solve_3d(vel, rhs, f, grid, pml, adjoint=adjoint,
+                                   tol=tol, maxiter=iter_cap,
+                                   restart=restart, spectral=spectral,
+                                   shell_k0=shell_k0)
+    else:
+        u, _ = born_series_solve_3d(vel, rhs, f, grid, pml, adjoint=adjoint,
+                                    iter_cap=iter_cap, spectral=spectral,
+                                    shell_k0=shell_k0)
+    return u
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+def born_solve_3d_diff(vel, rhs: Cpx, f, grid: Grid3D,
+                       pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
+                       iter_cap: int = 600, spectral: str = "auto",
+                       use_gmres: bool = True, tol: float = 2e-3,
+                       restart: int = 8, adjoint: bool = False,
+                       shell_k0=None) -> Cpx:
+    """Differentiable 3D Helmholtz solve (CBS engine, split-complex).
+
+    Reverse-mode rule = the continuous adjoint-state identity: with the
+    complex-symmetric Born operator A (diagonal potential + even
+    convolution kernel, so A^T = A and A^H = conj(A)), the cotangent
+    solve is ONE adjoint Helmholtz solve, lam = A^-H g, and
+
+        vel_bar = -Re(conj(lam) * u) * dk^2/dvel,   dk^2/dvel = -2 w^2 / c^3
+        rhs_bar = lam.
+
+    This makes ``jax.grad`` through the 3D solver cost exactly one extra
+    solve — the identity the reference's broken autodiff path aspired to
+    (SURVEY.md section 3.2; its pure_callback had no VJP), lifted to 3D.
+    Lossless media only (the 2D Born path has the same scope).
+
+    ``rhs``: Cpx (batch, nz, ny, nx). Returns the wavefield Cpx.
+    """
+    return _born3d_diff_impl(vel, rhs, f, grid, pml, iter_cap, spectral,
+                             use_gmres, tol, restart, adjoint, shell_k0)
+
+
+def _born3d_diff_fwd(vel, rhs, f, grid, pml, iter_cap, spectral, use_gmres,
+                     tol, restart, adjoint, shell_k0):
+    u = born_solve_3d_diff(vel, rhs, f, grid, pml, iter_cap, spectral,
+                           use_gmres, tol, restart, adjoint, shell_k0)
+    return u, (vel, u, f)
+
+
+def _born3d_diff_bwd(grid, pml, iter_cap, spectral, use_gmres, tol, restart,
+                     adjoint, shell_k0, residuals, g: Cpx):
+    vel, u, f = residuals
+    # A^H lam = g: one solve with the conjugated operator (the engine's
+    # `adjoint` flag flips the sign convention = conjugation, matching the
+    # hand adjoint-state solve in fwi.fwi3d.objective_pieces_3d).
+    lam = _born3d_diff_impl(vel, g, f, grid, pml, iter_cap, spectral,
+                            use_gmres, tol, restart, not adjoint, shell_k0)
+    dk2_dvel = -2.0 * (2 * jnp.pi * f) ** 2 / vel ** 3
+    vel_bar = -jnp.sum(lam.re * u.re + lam.im * u.im, axis=0) * dk2_dvel
+    f_bar = jnp.zeros_like(jnp.asarray(f, jnp.float32))
+    return vel_bar, lam, f_bar
+
+
+born_solve_3d_diff.defvjp(_born3d_diff_fwd, _born3d_diff_bwd)
