@@ -94,23 +94,13 @@ def test_sharded_born3d_rejects_indivisible():
                                      src, 200e3, grid, _mesh())
 
 
-def test_grid_sharded_3d_cg_matches_single_device():
-    """nonlinear_cg_3d(mesh=...) — the whole 3D inversion with every solve
-    running the distributed pencil-FFT CBS over z-slabs — reproduces the
-    single-device trajectory (the 3D counterpart of the 2D SPIKE test
-    tests/test_spike.py::test_grid_sharded_cg_matches_single_device)."""
-    import jax.numpy as jnp
-
-    from waveforminversionust_tpu import FWIConfig
+def _cg_problem():
+    """Tiny well-conditioned 3D inversion (mirrors tests/test_fwi3d._problem
+    with nz/ny multiples of the 8-way mesh): returns (grid, pml, data, C0)."""
     from waveforminversionust_tpu.fwi.fwi3d import (build_fwi_data_3d,
-                                                    nonlinear_cg_3d,
                                                     sample_receivers_3d)
     from waveforminversionust_tpu.models.acquisition3d import (
         build_acquisition3d, cylinder_positions, source_fields_3d)
-
-    # Mirror tests/test_fwi3d._problem (a known-well-conditioned tiny 3D
-    # inversion: 25^3-class grid, 8-element ring at 8 mm) with nz/ny
-    # adjusted to multiples of the 8-way mesh.
     from waveforminversionust_tpu.ops import cpx as cpxlib
 
     C0, F = 1500.0, 200e3
@@ -141,7 +131,20 @@ def test_grid_sharded_3d_cg_matches_single_device():
     S = 1e6
     data = data._replace(src=cpxlib.scale(data.src, S),
                          rec_obs=cpxlib.scale(data.rec_obs, S))
+    return grid, pml, data, C0
 
+
+def test_grid_sharded_3d_cg_matches_single_device():
+    """nonlinear_cg_3d(mesh=...) — the whole 3D inversion with every solve
+    running the distributed pencil-FFT CBS over z-slabs — reproduces the
+    single-device trajectory (the 3D counterpart of the 2D SPIKE test
+    tests/test_spike.py::test_grid_sharded_cg_matches_single_device)."""
+    import jax.numpy as jnp
+
+    from waveforminversionust_tpu import FWIConfig
+    from waveforminversionust_tpu.fwi.fwi3d import nonlinear_cg_3d
+
+    grid, pml, data, C0 = _cg_problem()
     vel0 = jnp.full(grid.shape, C0, jnp.float32)
     fwi = FWIConfig(num_iterations=3, estimate_source_strength=False,
                     clip_velocity=(C0 - 100.0, C0 + 100.0))
@@ -157,6 +160,64 @@ def test_grid_sharded_3d_cg_matches_single_device():
     dv_sh = np.asarray(v_sh) - C0
     rel = np.linalg.norm(dv_sh - dv_ref) / max(np.linalg.norm(dv_ref), 1e-30)
     assert rel < 5e-3, rel  # measured 3.1e-4
+
+
+def test_grid_sharded_3d_cg_gmres_matches_single_device():
+    """The combined 3D levers under the inversion loop: nonlinear_cg_3d
+    with mesh= AND solver3d="gmres" (pencil transforms + psum'd Arnoldi)
+    tracks the single-device GMRES-CBS trajectory."""
+    import jax.numpy as jnp
+
+    from waveforminversionust_tpu import FWIConfig
+    from waveforminversionust_tpu.fwi.fwi3d import nonlinear_cg_3d
+
+    grid, pml, data, C0 = _cg_problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    kw = dict(pml=pml, iter_cap=500, solver3d="gmres", gmres_tol=1e-4,
+              gmres_restart=8)
+    v_ref, m_ref = nonlinear_cg_3d(vel0, data, grid, fwi, **kw)
+    v_sh, m_sh = nonlinear_cg_3d(vel0, data, grid, fwi, mesh=_mesh(), **kw)
+    loss_ref = np.asarray(m_ref.loss)
+    loss_sh = np.asarray(m_sh.loss)
+    assert loss_ref[-1] < 0.5 * loss_ref[0], loss_ref
+    np.testing.assert_allclose(loss_sh, loss_ref, rtol=2e-2)
+    dv_ref = np.asarray(v_ref) - C0
+    dv_sh = np.asarray(v_sh) - C0
+    rel = np.linalg.norm(dv_sh - dv_ref) / max(np.linalg.norm(dv_ref), 1e-30)
+    assert rel < 2e-2, rel
+
+
+@pytest.mark.parametrize("mode", ["lossless", "lossy"])
+def test_sharded_gmres_born3d_matches_unsharded(mode):
+    """born_gmres_solve_3d_sharded (psum-reduced Arnoldi dots inside the
+    pencil shard_map) lands the same solution as the single-device
+    Krylov-accelerated CBS at matched tolerance."""
+    from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
+    from waveforminversionust_tpu.parallel.fft3d import (
+        born_gmres_solve_3d_sharded)
+
+    grid = _grid()
+    nz, ny, nx = grid.shape
+    rng = np.random.default_rng(7)
+    vel = np.clip(1500 + 40 * rng.standard_normal((nz, ny, nx)),
+                  1400, 1600).astype(np.float32)
+    src = (rng.standard_normal((2, nz, ny, nx))
+           + 1j * rng.standard_normal((2, nz, ny, nx))).astype(np.complex64)
+    pml = PMLConfig(a0=20.0, l_pml=3e-3)
+    kw = {}
+    if mode == "lossy":
+        kw["attenuation"] = 5.0 * np.abs(
+            rng.standard_normal((nz, ny, nx))).astype(np.float32)
+    u_ref, _ = born_gmres_solve_3d(vel, src, 200e3, grid, pml,
+                                   tol=1e-5, maxiter=400, restart=8, **kw)
+    u_sh, _ = born_gmres_solve_3d_sharded(vel, src, 200e3, grid, _mesh(),
+                                          pml, tol=1e-5, maxiter=400,
+                                          restart=8, **kw)
+    a, b = _to_np(u_ref), _to_np(u_sh)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-3, rel
 
 
 def test_pencil_dft_spectral_matches_fftn():

@@ -83,7 +83,7 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
     (``solver3d="gmres"``: same FFT-pair cost per matvec, typically 2-5x
     fewer of them — ops.born3d.born_gmres_solve_3d), or — with a mesh —
     the grid-sharded pencil-FFT solve (parallel.fft3d), one z-slab per
-    device."""
+    device; mesh + gmres combine (psum-reduced Arnoldi dots)."""
     if mesh is None:
         if solver3d == "gmres":
             from ..ops.born3d import born_gmres_solve_3d
@@ -93,10 +93,11 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
         return partial(born_series_solve_3d, grid=grid, pml=pml,
                        iter_cap=iter_cap, spectral=spectral)
     if solver3d == "gmres":
-        raise ValueError(
-            "solver3d='gmres' is single-device; the grid-sharded path "
-            "(mesh=) runs the fixed-point CBS under shard_map "
-            "(parallel.fft3d)")
+        from ..parallel.fft3d import born_gmres_solve_3d_sharded
+        return partial(born_gmres_solve_3d_sharded, grid=grid, mesh=mesh,
+                       pml=pml, maxiter=iter_cap, tol=gmres_tol,
+                       restart=gmres_restart, grid_axis=grid_axis,
+                       spectral=spectral)
     from ..parallel.fft3d import born_series_solve_3d_sharded
     return partial(born_series_solve_3d_sharded, grid=grid, mesh=mesh,
                    pml=pml, iter_cap=iter_cap, grid_axis=grid_axis,

@@ -147,9 +147,12 @@ def gmres(a_op: Callable, b: jnp.ndarray, m_inv: Callable | None = None,
 # Split-complex GMRES (Cpx pairs; see ops.cpx for why this exists on TPU)
 # ---------------------------------------------------------------------------
 
-def _norm2_cpx(a: Cpx):
-    return jnp.sum(a.re * a.re + a.im * a.im,
-                   axis=tuple(range(1, a.re.ndim)))
+def _norm2_cpx(a: Cpx, axis_name: str | None = None):
+    n2 = jnp.sum(a.re * a.re + a.im * a.im,
+                 axis=tuple(range(1, a.re.ndim)))
+    if axis_name is not None:
+        n2 = jax.lax.psum(n2, axis_name)
+    return n2
 
 
 def _bcast(s, like: Cpx):
@@ -157,7 +160,8 @@ def _bcast(s, like: Cpx):
     return s.reshape(s.shape + (1,) * (like.re.ndim - 1))
 
 
-def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int):
+def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int,
+                     axis_name: str | None = None):
     """One split-complex GMRES(m) cycle (mirror of :func:`_gmres_cycle`).
 
     The small (m+1, m) Hessenberg least-squares is solved through the real
@@ -166,9 +170,14 @@ def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int):
     equals the real LSQ over (yr, yi) because the embedding is an isometry.
     Real batched QR is in the targeted runtime's implemented set; complex
     QR is not.
+
+    ``axis_name``: when the field axes are sharded over a mesh axis (the
+    pencil-decomposed 3D path), every field-space inner product psums over
+    it — the Hessenberg system is then replicated bit-identically on all
+    devices and the small LSQ needs no communication.
     """
     batch = r.re.shape[0]
-    beta = jnp.sqrt(_norm2_cpx(r))  # (batch,)
+    beta = jnp.sqrt(_norm2_cpx(r, axis_name))  # (batch,)
     inv_beta = 1.0 / jnp.maximum(beta, 1e-38)
 
     v_shape = (m + 1, batch) + r.re.shape[1:]
@@ -189,6 +198,9 @@ def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int):
             axes = tuple(range(1, w_.re.ndim))
             hre = jnp.sum(v.re[i] * w_.re + v.im[i] * w_.im, axis=axes)
             him = jnp.sum(v.re[i] * w_.im - v.im[i] * w_.re, axis=axes)
+            if axis_name is not None:
+                hre = jax.lax.psum(hre, axis_name)
+                him = jax.lax.psum(him, axis_name)
             hre = hre * mask[i]
             him = him * mask[i]
             br, bi = _bcast(hre, w_), _bcast(him, w_)
@@ -198,7 +210,7 @@ def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int):
             return (w_, h_)
 
         w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, h))
-        hnext = jnp.sqrt(_norm2_cpx(w))
+        hnext = jnp.sqrt(_norm2_cpx(w, axis_name))
         h = Cpx(h.re.at[:, j + 1, j].set(hnext), h.im)
         inv_h = _bcast(1.0 / jnp.maximum(hnext, 1e-38), w)
         v = Cpx(v.re.at[j + 1].set(w.re * inv_h),
@@ -232,17 +244,27 @@ def _gmres_cycle_cpx(a_op: Callable, m_inv: Callable, x: Cpx, r: Cpx, m: int):
 
 def gmres_cpx(a_op: Callable, b: Cpx, m_inv: Callable | None = None,
               x0: Cpx | None = None, tol: float = 1e-5,
-              maxiter: int = 1000, restart: int = 16) -> KrylovResult:
+              maxiter: int = 1000, restart: int = 16,
+              axis_name: str | None = None) -> KrylovResult:
     """Restarted GMRES on split-complex data; semantics match :func:`gmres`.
 
     a_op/m_inv map Cpx (batch, ...) -> Cpx (batch, ...). Monotone and
     NaN-safe per lane exactly like the native path.
+
+    ``axis_name``: set when called inside shard_map with the FIELD axes
+    sharded over that mesh axis (batch replicated). All inner products are
+    psum-reduced, so every device runs the same Hessenberg problem and the
+    iterate stays consistent; the only extra communication is one scalar
+    psum per MGS dot.
     """
     if m_inv is None:
         m_inv = lambda v: v
-    x = cpx.zeros(b.re.shape) if x0 is None else x0
+    # Zero start DERIVED from b so its type carries the mesh-axis "varying"
+    # tag under shard_map (a plain cpx.zeros is replicated-typed and trips
+    # the while_loop carry check; see parallel.fft3d._born_local).
+    x = Cpx(b.re * 0, b.im * 0) if x0 is None else x0
     r = b - a_op(x) if x0 is not None else b
-    bnorm2 = jnp.maximum(_norm2_cpx(b), 1e-38)
+    bnorm2 = jnp.maximum(_norm2_cpx(b, axis_name), 1e-38)
     tol2 = jnp.float32(tol) ** 2 * bnorm2
 
     class State(NamedTuple):
@@ -251,15 +273,16 @@ def gmres_cpx(a_op: Callable, b: Cpx, m_inv: Callable | None = None,
         matvecs: jnp.ndarray
 
     def cond(st: State):
-        res = _norm2_cpx(st.r)
+        res = _norm2_cpx(st.r, axis_name)
         unconverged = (res > tol2) & jnp.isfinite(res)
         return jnp.any(unconverged) & (st.matvecs < maxiter)
 
     def body(st: State):
-        x_new = _gmres_cycle_cpx(a_op, m_inv, st.x, st.r, restart)
+        x_new = _gmres_cycle_cpx(a_op, m_inv, st.x, st.r, restart,
+                                 axis_name)
         r_new = b - a_op(x_new)
-        res_new = _norm2_cpx(r_new)
-        accept = (res_new <= _norm2_cpx(st.r)) & jnp.isfinite(res_new)
+        res_new = _norm2_cpx(r_new, axis_name)
+        accept = (res_new <= _norm2_cpx(st.r, axis_name)) & jnp.isfinite(res_new)
         af_x = _bcast(accept, st.x)
         return State(x=Cpx(jnp.where(af_x, x_new.re, st.x.re),
                            jnp.where(af_x, x_new.im, st.x.im)),
@@ -268,5 +291,5 @@ def gmres_cpx(a_op: Callable, b: Cpx, m_inv: Callable | None = None,
                      matvecs=st.matvecs + restart + 1)
 
     final = jax.lax.while_loop(cond, body, State(x, r, jnp.int32(0)))
-    rel = jnp.sqrt(_norm2_cpx(final.r) / bnorm2)
+    rel = jnp.sqrt(_norm2_cpx(final.r, axis_name) / bnorm2)
     return KrylovResult(x=final.x, rel_residual=rel, iterations=final.matvecs)
