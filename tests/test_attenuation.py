@@ -84,12 +84,41 @@ def test_adjoint_solve_lossy_consistent(setup):
     assert lhs == pytest.approx(rhs, rel=1e-3)
 
 
-def test_born_rejects_attenuation(setup):
+def test_born_supports_attenuation(setup):
+    """The spectral (CBS) engine is lossy-capable too: alpha damps the
+    field monotonically, alpha=0 reproduces the lossless solve exactly,
+    and the split-complex form matches the native one (round-3 removal of
+    the historical Born+attenuation guard; k = omega/c + i*sgn*alpha is
+    engine-agnostic, cf. ops.born3d)."""
+    from waveforminversionust_tpu.ops import cpx
+    from waveforminversionust_tpu.ops.born import born_series_solve
+    from waveforminversionust_tpu.ops.split_engine import born_series_solve_cpx
+
     grid, solver, vel, src = setup
     born = dataclasses.replace(solver, method=SolverMethod.BORN)
-    with pytest.raises(NotImplementedError):
-        solve_helmholtz(vel, src, F, grid, born,
-                        attenuation=np.zeros(grid.shape, np.float32))
+    alpha = np.full(grid.shape, 150.0, np.float32)
+    u0, _ = solve_helmholtz(vel, src, F, grid, born)
+    ua, _ = solve_helmholtz(vel, src, F, grid, born, attenuation=alpha)
+    cy, cx = grid.ny // 2, grid.nx // 2
+    a0 = abs(complex(fetch(u0[0, cy, cx + 20])))
+    aa = abs(complex(fetch(ua[0, cy, cx + 20])))
+    assert aa < 0.7 * a0, (aa, a0)  # exp(-150*8mm) ~ 0.30 in the continuum
+    uz, _ = solve_helmholtz(vel, src, F, grid, born,
+                            attenuation=np.zeros(grid.shape, np.float32))
+    np.testing.assert_array_equal(np.asarray(fetch(uz)),
+                                  np.asarray(fetch(u0)))
+    # split form == native (both plain series; the krylov default differs)
+    u_n, _ = born_series_solve(vel, jnp.asarray(src), F, grid, born.born_pml,
+                               iter_cap=born.born_iter_cap,
+                               attenuation=jnp.asarray(alpha))
+    u_s, _ = born_series_solve_cpx(vel, cpx.of(jnp.asarray(src)), F, grid,
+                                   born.born_pml,
+                                   iter_cap=born.born_iter_cap,
+                                   attenuation=jnp.asarray(alpha))
+    got = np.asarray(u_s.re) + 1j * np.asarray(u_s.im)
+    rel = (np.linalg.norm(got - np.asarray(u_n))
+           / np.linalg.norm(np.asarray(u_n)))
+    assert rel < 1e-4, rel
 
 
 def test_synthesize_with_attenuation(setup):

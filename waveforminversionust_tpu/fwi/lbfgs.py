@@ -216,8 +216,8 @@ def fwi_loss_3d(slowness_flat, data, grid, pml, iter_cap: int = 600,
 
     Args:
         slowness_flat: (nz*ny*nx,) real slowness [s/m].
-        data: fwi.fwi3d.FWIData3D (lossless; the diff Born path has the
-            same scope as 2D).
+        data: fwi.fwi3d.FWIData3D; a ``data.attenuation`` map makes the
+            solve lossy AND differentiable in alpha (the lossy VJP).
     """
     from ..ops import cpx as cpxlib
     from ..ops.born3d import born_solve_3d_diff
@@ -228,7 +228,7 @@ def fwi_loss_3d(slowness_flat, data, grid, pml, iter_cap: int = 600,
     vel = 1.0 / slowness
     u = born_solve_3d_diff(vel, data.src, data.f, grid, pml, iter_cap,
                            spectral, use_gmres, tol, restart, False,
-                           shell_k0)
+                           shell_k0, attenuation=data.attenuation)
     rec_sim = sample_receivers_3d(u, data.rx_idx)
     if estimate_sources:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)
@@ -286,3 +286,77 @@ def run_lbfgs_3d(vel_init, data, grid, pml, iter_cap: int = 600,
                                        None, length=num_iterations)
     vel = 1.0 / (params * slow_ref).reshape(grid.shape)
     return LBFGS3DResult(velocity=vel, loss_history=losses)
+
+
+class Attenuation3DResult(NamedTuple):
+    velocity: jnp.ndarray      # (nz, ny, nx) [m/s]
+    attenuation: jnp.ndarray   # (nz, ny, nx) [Np/m]
+    loss_history: jnp.ndarray  # (num_iterations,) data misfit
+
+
+@partial(jax.jit, static_argnames=("grid", "pml", "iter_cap", "spectral",
+                                   "use_gmres", "tol", "restart",
+                                   "num_iterations", "memory_size",
+                                   "estimate_sources", "invert_velocity"))
+def run_lbfgs_attenuation_3d(vel_init, alpha_init, data, grid, pml,
+                             iter_cap: int = 600, spectral: str = "auto",
+                             use_gmres: bool = True, tol: float = 2e-3,
+                             restart: int = 8, num_iterations: int = 10,
+                             memory_size: int = 10,
+                             estimate_sources: bool = True,
+                             invert_velocity: bool = False,
+                             alpha_scale: float = 50.0,
+                             velocity_scale: float = 0.01
+                             ) -> Attenuation3DResult:
+    """Turnkey 3D attenuation inversion over the differentiable lossy CBS
+    solve — the volumetric analog of :func:`run_lbfgs_attenuation`, same
+    scaling rationale (alpha relative to ``alpha_scale`` [Np/m]; joint mode
+    parameterizes slowness as slow0 * (1 + velocity_scale * q) so the two
+    blocks see comparable gradient sensitivity; alpha clipped >= 0 at
+    evaluation). The alpha gradient rides the lossy custom VJP
+    (ops.born3d._born3d_diff_lossy_bwd): one adjoint solve per step.
+    """
+    from ..ops.cpx import Cpx, abs2
+
+    slow0 = (1.0 / jnp.asarray(vel_init, jnp.float32)).ravel()
+    alpha0 = jnp.asarray(alpha_init, jnp.float32).ravel()
+    a_ref = jnp.float32(alpha_scale)
+    if isinstance(data.rec_obs, Cpx):
+        data_norm = 0.5 * jnp.sum(abs2(data.rec_obs))
+    else:
+        data_norm = 0.5 * jnp.sum(jnp.abs(data.rec_obs) ** 2)
+    data_norm = jax.lax.stop_gradient(jnp.maximum(data_norm, 1e-38))
+
+    n_pix = slow0.size
+    vs = jnp.float32(velocity_scale)
+
+    def unpack(p):
+        slow = (slow0 * (1.0 + vs * p[:n_pix]) if invert_velocity else slow0)
+        alpha = jnp.maximum(p[-n_pix:] * a_ref, 0.0)
+        return slow, alpha.reshape(grid.shape)
+
+    def loss_fn(p):
+        slow, alpha = unpack(p)
+        d = data._replace(attenuation=alpha)
+        raw = fwi_loss_3d(slow, d, grid, pml, iter_cap, spectral,
+                          use_gmres, tol, restart, estimate_sources)
+        return raw / data_norm
+
+    params0 = (jnp.concatenate([jnp.zeros_like(slow0), alpha0 / a_ref])
+               if invert_velocity else alpha0 / a_ref)
+    opt = optax.lbfgs(memory_size=memory_size)
+    opt_state0 = opt.init(params0)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(
+            grad, opt_state, params, value=loss, grad=grad, value_fn=loss_fn)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss * data_norm
+
+    (params, _), losses = jax.lax.scan(step, (params0, opt_state0),
+                                       None, length=num_iterations)
+    slow, alpha = unpack(params)
+    return Attenuation3DResult(velocity=(1.0 / slow).reshape(grid.shape),
+                               attenuation=alpha, loss_history=losses)

@@ -51,20 +51,31 @@ def _boundary_curve(r, c, n_order: int, k0, sign):
 
 
 def born_operator(vel, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
-                  adjoint: bool = False, n_order: int = 9):
+                  adjoint: bool = False, n_order: int = 9,
+                  attenuation=None):
     """Build the CBS split: Green's operator, potential, preconditioner.
 
     Returns (greens, v_pot, gamma, n_iter_heuristic) with
     ``greens(w) = IFFT(g0 * FFT(w))`` (reference:
     solveHelmholtzBornSeries.m:53-58) and the physics-derived iteration
     count per unit ``iter_scale``.
+
+    ``attenuation``: optional (ny, nx) alpha map [Np/m]; the interior
+    wavenumber becomes k = omega/c + i*sgn*alpha — the same lossy-media
+    convention as the FD engines (stencil.helmholtz_coefficients) and the
+    3D CBS (born3d.born_operator_3d); the wavenumber is engine-agnostic.
+    The adjoint operator stays the conjugate via the same ``sign`` flip.
     """
     ny, nx = grid.ny, grid.nx
     dx, dy = grid.dx, grid.dy
     sign = float(pml.sign_convention) * (-1.0 if adjoint else 1.0)
 
     vel = jnp.asarray(vel, jnp.float32)
-    k = (2 * jnp.pi * f / vel).astype(jnp.complex64)
+    k_real = 2 * jnp.pi * f / vel
+    k = k_real.astype(jnp.complex64)
+    if attenuation is not None:
+        alpha = jnp.asarray(attenuation, jnp.float32)
+        k = k + (1j * sign) * alpha.astype(jnp.complex64)
 
     # Fourier grid (angular wavenumbers), fftfreq convention
     # (reference: solveHelmholtzBornSeries.m:20-21).
@@ -72,9 +83,10 @@ def born_operator(vel, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
     ky = (2 * jnp.pi * jnp.fft.fftfreq(ny, d=dy)).astype(jnp.float32)
     p2 = (kx[None, :] ** 2 + ky[:, None] ** 2).astype(jnp.complex64)
 
-    # Polynomial absorbing boundary layered onto k^2.
+    # Polynomial absorbing boundary layered onto k^2 (tuned on the REAL
+    # background wavenumber, like born3d: the shell is discretization).
     c_att = pml.a0 / pml.l_pml
-    k0_b = jnp.sqrt(jnp.mean(k ** 2))
+    k0_b = jnp.sqrt(jnp.mean(k_real ** 2))
     x = jnp.asarray(grid.x, jnp.float32)
     y = jnp.asarray(grid.y, jnp.float32)
     x_pml = jnp.maximum(jnp.abs(x) + pml.l_pml - (nx - 1) * dx / 2, 0.0)
@@ -103,7 +115,8 @@ def born_operator(vel, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
 
 def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
                       adjoint: bool = False, n_order: int = 9,
-                      iter_cap: int = 1000, iter_scale: float = 1.0):
+                      iter_cap: int = 1000, iter_scale: float = 1.0,
+                      attenuation=None):
     """Solve the Helmholtz equation by convergent Born series (plain
     Richardson iteration, matching the reference's loop,
     solveHelmholtzBornSeries.m:66-70).
@@ -120,7 +133,8 @@ def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
         (wavefield (batch, ny, nx) complex64, iterations int32)
     """
     greens, v_pot, gamma, n_heur = born_operator(vel, f, grid, pml, adjoint,
-                                                 n_order)
+                                                 n_order,
+                                                 attenuation=attenuation)
     n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
     src = jnp.asarray(src, jnp.complex64)
 
@@ -135,7 +149,7 @@ def born_series_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
 def born_gmres_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
                      adjoint: bool = False, n_order: int = 9,
                      tol: float = 1e-5, maxiter: int = 600,
-                     restart: int = 16):
+                     restart: int = 16, attenuation=None):
     """Krylov-accelerated convergent Born series.
 
     The CBS fixed point u <- u - gamma (u - G(Vu - src)) is a Richardson
@@ -152,7 +166,7 @@ def born_gmres_solve(vel, src, f, grid: Grid2D, pml: PMLConfig = PMLConfig(),
     from .krylov import gmres
 
     greens, v_pot, gamma, _ = born_operator(vel, f, grid, pml, adjoint,
-                                            n_order)
+                                            n_order, attenuation=attenuation)
     src = jnp.asarray(src, jnp.complex64)
 
     def a_op(u):

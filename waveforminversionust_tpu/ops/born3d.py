@@ -264,52 +264,36 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
 # ---------------------------------------------------------------------------
 
 def _born3d_diff_impl(vel, rhs: Cpx, f, grid, pml, iter_cap, spectral,
-                      use_gmres, tol, restart, adjoint, shell_k0):
+                      use_gmres, tol, restart, adjoint, shell_k0,
+                      attenuation=None):
     if use_gmres:
         u, _ = born_gmres_solve_3d(vel, rhs, f, grid, pml, adjoint=adjoint,
                                    tol=tol, maxiter=iter_cap,
                                    restart=restart, spectral=spectral,
-                                   shell_k0=shell_k0)
+                                   shell_k0=shell_k0,
+                                   attenuation=attenuation)
     else:
         u, _ = born_series_solve_3d(vel, rhs, f, grid, pml, adjoint=adjoint,
                                     iter_cap=iter_cap, spectral=spectral,
-                                    shell_k0=shell_k0)
+                                    shell_k0=shell_k0,
+                                    attenuation=attenuation)
     return u
 
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
-def born_solve_3d_diff(vel, rhs: Cpx, f, grid: Grid3D,
-                       pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
-                       iter_cap: int = 600, spectral: str = "auto",
-                       use_gmres: bool = True, tol: float = 2e-3,
-                       restart: int = 8, adjoint: bool = False,
-                       shell_k0=None) -> Cpx:
-    """Differentiable 3D Helmholtz solve (CBS engine, split-complex).
-
-    Reverse-mode rule = the continuous adjoint-state identity: with the
-    complex-symmetric Born operator A (diagonal potential + even
-    convolution kernel, so A^T = A and A^H = conj(A)), the cotangent
-    solve is ONE adjoint Helmholtz solve, lam = A^-H g, and
-
-        vel_bar = -Re(conj(lam) * u) * dk^2/dvel,   dk^2/dvel = -2 w^2 / c^3
-        rhs_bar = lam.
-
-    This makes ``jax.grad`` through the 3D solver cost exactly one extra
-    solve — the identity the reference's broken autodiff path aspired to
-    (SURVEY.md section 3.2; its pure_callback had no VJP), lifted to 3D.
-    Lossless media only (the 2D Born path has the same scope).
-
-    ``rhs``: Cpx (batch, nz, ny, nx). Returns the wavefield Cpx.
-    """
+def _born3d_diff_lossless(vel, rhs: Cpx, f, grid: Grid3D, pml: PMLConfig,
+                          iter_cap: int, spectral: str, use_gmres: bool,
+                          tol: float, restart: int, adjoint: bool,
+                          shell_k0) -> Cpx:
     return _born3d_diff_impl(vel, rhs, f, grid, pml, iter_cap, spectral,
                              use_gmres, tol, restart, adjoint, shell_k0)
 
 
 def _born3d_diff_fwd(vel, rhs, f, grid, pml, iter_cap, spectral, use_gmres,
                      tol, restart, adjoint, shell_k0):
-    u = born_solve_3d_diff(vel, rhs, f, grid, pml, iter_cap, spectral,
-                           use_gmres, tol, restart, adjoint, shell_k0)
+    u = _born3d_diff_lossless(vel, rhs, f, grid, pml, iter_cap, spectral,
+                              use_gmres, tol, restart, adjoint, shell_k0)
     return u, (vel, u, f)
 
 
@@ -327,4 +311,96 @@ def _born3d_diff_bwd(grid, pml, iter_cap, spectral, use_gmres, tol, restart,
     return vel_bar, lam, f_bar
 
 
-born_solve_3d_diff.defvjp(_born3d_diff_fwd, _born3d_diff_bwd)
+_born3d_diff_lossless.defvjp(_born3d_diff_fwd, _born3d_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _born3d_diff_lossy(vel, alpha, rhs: Cpx, f, grid: Grid3D,
+                       pml: PMLConfig, iter_cap: int, spectral: str,
+                       use_gmres: bool, tol: float, restart: int,
+                       adjoint: bool, shell_k0) -> Cpx:
+    return _born3d_diff_impl(vel, rhs, f, grid, pml, iter_cap, spectral,
+                             use_gmres, tol, restart, adjoint, shell_k0,
+                             attenuation=alpha)
+
+
+def _born3d_diff_lossy_fwd(vel, alpha, rhs, f, grid, pml, iter_cap,
+                           spectral, use_gmres, tol, restart, adjoint,
+                           shell_k0):
+    u = _born3d_diff_lossy(vel, alpha, rhs, f, grid, pml, iter_cap,
+                           spectral, use_gmres, tol, restart, adjoint,
+                           shell_k0)
+    return u, (vel, alpha, u, f)
+
+
+def _born3d_diff_lossy_bwd(grid, pml, iter_cap, spectral, use_gmres, tol,
+                           restart, adjoint, shell_k0, residuals, g: Cpx):
+    """Adjoint-state VJP, lossy case. The interior potential k^2 = (omega/c
+    + i*sgn*alpha)^2 is complex-analytic in both REAL fields, so with
+    s = sum_b conj(lam) * u each field's cotangent is -Re(s * dk2/dfield):
+
+        dk2/dc     = -2 (omega/c^2) k_c
+        dk2/dalpha =  2 i sgn      k_c ,   k_c = omega/c + i sgn alpha.
+
+    The sign flip in the adjoint solve conjugates the LOSSY operator too
+    (k2.im is proportional to sgn throughout), so lam = A^-H g stays one
+    flag-flipped solve with the same alpha map.
+    """
+    vel, alpha, u, f = residuals
+    lam = _born3d_diff_impl(vel, g, f, grid, pml, iter_cap, spectral,
+                            use_gmres, tol, restart, not adjoint, shell_k0,
+                            attenuation=alpha)
+    omega = 2 * jnp.pi * f
+    sgn = float(pml.sign_convention) * (-1.0 if adjoint else 1.0)
+    # s = sum_b conj(lam) * u, split parts.
+    s_re = jnp.sum(lam.re * u.re + lam.im * u.im, axis=0)
+    s_im = jnp.sum(lam.re * u.im - lam.im * u.re, axis=0)
+    kc_re = omega / vel
+    kc_im = sgn * alpha
+    # q_vel = -2 (omega/c^2) k_c
+    c2 = 2.0 * omega / vel ** 2
+    vel_bar = -(s_re * (-c2 * kc_re) - s_im * (-c2 * kc_im))
+    # q_alpha = 2 i sgn k_c = -2 alpha + 2 i sgn omega/c
+    alpha_bar = -(s_re * (-2.0 * alpha) - s_im * (2.0 * sgn * kc_re))
+    f_bar = jnp.zeros_like(jnp.asarray(f, jnp.float32))
+    return vel_bar, alpha_bar, lam, f_bar
+
+
+_born3d_diff_lossy.defvjp(_born3d_diff_lossy_fwd, _born3d_diff_lossy_bwd)
+
+
+def born_solve_3d_diff(vel, rhs: Cpx, f, grid: Grid3D,
+                       pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
+                       iter_cap: int = 600, spectral: str = "auto",
+                       use_gmres: bool = True, tol: float = 2e-3,
+                       restart: int = 8, adjoint: bool = False,
+                       shell_k0=None, attenuation=None) -> Cpx:
+    """Differentiable 3D Helmholtz solve (CBS engine, split-complex).
+
+    Reverse-mode rule = the continuous adjoint-state identity: with the
+    complex-symmetric Born operator A (diagonal potential + even
+    convolution kernel, so A^T = A and A^H = conj(A)), the cotangent
+    solve is ONE adjoint Helmholtz solve, lam = A^-H g, and
+
+        vel_bar = -Re(conj(lam) * u) * dk^2/dvel
+        rhs_bar = lam,
+
+    with dk^2/dvel = -2 w^2/c^3 in lossless media and the complex
+    k_c-weighted factors of :func:`_born3d_diff_lossy_bwd` when an
+    ``attenuation`` map is given (which is then differentiable too —
+    alpha-map inversion through the 3D spectral engine).
+
+    This makes ``jax.grad`` through the 3D solver cost exactly one extra
+    solve — the identity the reference's broken autodiff path aspired to
+    (SURVEY.md section 3.2; its pure_callback had no VJP), lifted to 3D.
+
+    ``rhs``: Cpx (batch, nz, ny, nx). Returns the wavefield Cpx.
+    """
+    if attenuation is None:
+        return _born3d_diff_lossless(vel, rhs, f, grid, pml, iter_cap,
+                                     spectral, use_gmres, tol, restart,
+                                     adjoint, shell_k0)
+    return _born3d_diff_lossy(vel, jnp.asarray(attenuation, jnp.float32),
+                              rhs, f, grid, pml, iter_cap, spectral,
+                              use_gmres, tol, restart, adjoint, shell_k0)

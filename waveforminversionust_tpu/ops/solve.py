@@ -307,16 +307,18 @@ def _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0,
 # Born path: continuous adjoint-state VJP
 # ---------------------------------------------------------------------------
 
-def _born_solve_impl(vel, rhs, f, grid, cfg, adjoint):
+def _born_solve_impl(vel, rhs, f, grid, cfg, adjoint, attenuation=None):
     if cfg.born_krylov:
         u, _ = born_gmres_solve(vel, rhs, f, grid, cfg.born_pml,
                                 adjoint=adjoint, tol=cfg.tol,
                                 maxiter=cfg.born_iter_cap,
-                                restart=cfg.born_restart)
+                                restart=cfg.born_restart,
+                                attenuation=attenuation)
     else:
         u, _ = born_series_solve(vel, rhs, f, grid, cfg.born_pml,
                                  adjoint=adjoint, iter_cap=cfg.born_iter_cap,
-                                 iter_scale=cfg.born_iter_scale)
+                                 iter_scale=cfg.born_iter_scale,
+                                 attenuation=attenuation)
     return u
 
 
@@ -348,6 +350,48 @@ def _born_solve_bwd(grid, cfg, adjoint, residuals, u_bar):
 _born_solve.defvjp(_born_solve_fwd, _born_solve_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _born_solve_lossy(vel, alpha, rhs, f, grid: Grid2D, cfg: SolverConfig,
+                      adjoint: bool):
+    """Lossy-media differentiable Born solve: like :func:`_born_solve` but
+    with the attenuation map a first-class differentiable input, enabling
+    alpha-map inversion through the spectral engine (the FD engines get
+    this via the coefficient-level autodiff in helmholtz_coefficients)."""
+    return _born_solve_impl(vel, rhs, f, grid, cfg, adjoint,
+                            attenuation=alpha)
+
+
+def _born_solve_lossy_fwd(vel, alpha, rhs, f, grid, cfg, adjoint):
+    u = _born_solve_lossy(vel, alpha, rhs, f, grid, cfg, adjoint)
+    return u, (vel, alpha, u, f)
+
+
+def _born_solve_lossy_bwd(grid, cfg, adjoint, residuals, u_bar):
+    """Pure-transpose VJP, lossy case. The operator stays complex-symmetric
+    (the lossy k^2 is still a diagonal potential), so lam = A^-T u_bar is
+    one forward solve. The interior potential is k^2 = (omega/c +
+    i*sgn*alpha)^2 — complex-analytic in both REAL fields c and alpha — so
+    each field's cotangent is -Re(sum_b lam*u * dk2/dfield):
+
+        dk2/dc     = -2 (omega/c^2) k_c
+        dk2/dalpha =  2 i sgn      k_c ,   k_c = omega/c + i sgn alpha.
+    """
+    vel, alpha, u, f = residuals
+    lam = _born_solve_lossy(vel, alpha, u_bar, f, grid, cfg, adjoint)
+    omega = 2 * jnp.pi * f
+    sign = float(cfg.born_pml.sign_convention) * (-1.0 if adjoint else 1.0)
+    k_c = (omega / vel).astype(jnp.complex64) + (1j * sign) * alpha
+    s = jnp.sum(lam * u, axis=0)
+    vel_bar = -jnp.real(s * (-2.0 * (omega / vel ** 2) * k_c))
+    alpha_bar = -jnp.real(s * ((2j * sign) * k_c))
+    rhs_bar = lam
+    f_bar = jnp.zeros_like(f)
+    return vel_bar, alpha_bar, rhs_bar, f_bar
+
+
+_born_solve_lossy.defvjp(_born_solve_lossy_fwd, _born_solve_lossy_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Operator-level API (non-differentiable, maximal factorization reuse)
 # ---------------------------------------------------------------------------
@@ -367,6 +411,8 @@ class HelmholtzOperator(NamedTuple):
     precond: PrecondParams
     factor: BandedFactor | None    # set for the banded method
     d_map: jnp.ndarray             # boundary row-scale map D
+    attenuation: jnp.ndarray | None = None  # alpha map (Born path re-derives
+                                            # its operator from vel/f/alpha)
 
 
 def make_helmholtz_operator(vel, f, grid: Grid2D,
@@ -387,9 +433,6 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
     direct solve. Pass the same ``mesh``/``grid_axis`` to
     :func:`helmholtz_operator_solve`.
     """
-    if attenuation is not None and cfg.method == SolverMethod.BORN:
-        raise NotImplementedError("attenuation is supported by the FD "
-                                  "methods (banded/gmres), not Born")
     scale = dirichlet_scale(grid)
     d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
     if cfg.split_complex:
@@ -422,7 +465,10 @@ def make_helmholtz_operator(vel, f, grid: Grid2D,
     return HelmholtzOperator(vel=jnp.asarray(vel, jnp.float32),
                              f=jnp.asarray(f, jnp.float32),
                              coeffs=coeffs, precond=precond, factor=factor,
-                             d_map=d_map)
+                             d_map=d_map,
+                             attenuation=(None if attenuation is None else
+                                          jnp.asarray(attenuation,
+                                                      jnp.float32)))
 
 
 def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
@@ -451,7 +497,8 @@ def helmholtz_operator_solve(op: HelmholtzOperator, src, grid: Grid2D,
         src = src[None]
 
     if cfg.method == SolverMethod.BORN:
-        u = _born_solve_impl(op.vel, src, op.f, grid, cfg, adjoint)
+        u = _born_solve_impl(op.vel, src, op.f, grid, cfg, adjoint,
+                             attenuation=op.attenuation)
     elif cfg.method == SolverMethod.BANDED:
         rhs = src if adjoint else src * op.d_map
         u = _banded_solve_refined(op.factor, rhs, cfg, adjoint=adjoint)
@@ -613,7 +660,8 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
         u, _ = born_series_solve_cpx(op.vel, src, op.f, grid, cfg.born_pml,
                                      adjoint=adjoint,
                                      iter_cap=cfg.born_iter_cap,
-                                     iter_scale=cfg.born_iter_scale)
+                                     iter_scale=cfg.born_iter_scale,
+                                     attenuation=op.attenuation)
     elif cfg.method == SolverMethod.BANDED:
         from ..parallel.spike import SpikeFactor, spike_solve
         rhs = src if adjoint else cpxlib.scale(src, op.d_map)
@@ -728,9 +776,6 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
     Note: diagnostics (residual/iteration count) are computed on a
     stop-gradient side path so the differentiable output is just u.
     """
-    if attenuation is not None and config.method == SolverMethod.BORN:
-        raise NotImplementedError("attenuation is supported by the FD "
-                                  "methods (banded/gmres), not Born")
     if config.split_complex:
         return _solve_helmholtz_split(vel, src, f, grid, config, adjoint, x0,
                                       attenuation=attenuation)
@@ -741,8 +786,13 @@ def solve_helmholtz(vel, src, f, grid: Grid2D,
 
     if config.method == SolverMethod.BORN:
         f32 = jnp.asarray(f, jnp.float32)
-        u = _born_solve(jnp.asarray(vel, jnp.float32), src, f32, grid, config,
-                        bool(adjoint))
+        if attenuation is None:
+            u = _born_solve(jnp.asarray(vel, jnp.float32), src, f32, grid,
+                            config, bool(adjoint))
+        else:
+            u = _born_solve_lossy(jnp.asarray(vel, jnp.float32),
+                                  jnp.asarray(attenuation, jnp.float32),
+                                  src, f32, grid, config, bool(adjoint))
         info = SolveInfo(jnp.zeros(src.shape[0], jnp.float32), jnp.int32(-1))
     else:
         coeffs, precond = build_operator(vel, f, grid, config, adjoint=adjoint,

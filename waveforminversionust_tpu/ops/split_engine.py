@@ -526,9 +526,11 @@ def banded_solve_cpx(factor: BandedFactorCpx, b: Cpx,
 # ---------------------------------------------------------------------------
 
 def born_operator_cpx(vel, f, grid: Grid2D, pml: PMLConfig,
-                      adjoint: bool = False, n_order: int = 9):
+                      adjoint: bool = False, n_order: int = 9,
+                      attenuation=None):
     """Split-complex CBS split (cf. born.born_operator; reference:
-    solveHelmholtzBornSeries.m:16-58)."""
+    solveHelmholtzBornSeries.m:16-58). ``attenuation``: optional alpha map
+    [Np/m], k = omega/c + i*sgn*alpha (same convention as every engine)."""
     import math
 
     ny, nx = grid.ny, grid.nx
@@ -557,7 +559,13 @@ def born_operator_cpx(vel, f, grid: Grid2D, pml: PMLConfig,
     denom = math.factorial(n_order) * trunc_exp
     num = Cpx((c_att ** 2) * (n_order - cr) * cr ** (n_order - 1) / denom,
               (c_att ** 2) * (2 * k0_b * r_b * sign) * cr ** (n_order - 1) / denom)
-    k2 = Cpx(k_real ** 2 + num.re, num.im)
+    if attenuation is not None:
+        alpha = jnp.asarray(attenuation, jnp.float32)
+        # (k_real + i*sgn*alpha)^2 + shell curve (cf. born3d lossy branch).
+        k2 = Cpx(k_real ** 2 - alpha ** 2 + num.re,
+                 num.im + 2 * sign * alpha * k_real)
+    else:
+        k2 = Cpx(k_real ** 2 + num.re, num.im)
     k = cpx.sqrt(k2)
 
     k_0 = (jnp.min(k.re) + jnp.max(k.re)) / 2  # real scalar
@@ -580,10 +588,11 @@ def born_operator_cpx(vel, f, grid: Grid2D, pml: PMLConfig,
 def born_series_solve_cpx(vel, src: Cpx, f, grid: Grid2D,
                           pml: PMLConfig, adjoint: bool = False,
                           n_order: int = 9, iter_cap: int = 1000,
-                          iter_scale: float = 1.0):
+                          iter_scale: float = 1.0, attenuation=None):
     """Split-complex convergent Born series (cf. born.born_series_solve)."""
     greens, v_pot, gamma, n_heur = born_operator_cpx(vel, f, grid, pml,
-                                                     adjoint, n_order)
+                                                     adjoint, n_order,
+                                                     attenuation=attenuation)
     n_iter = jnp.minimum((iter_scale * n_heur).astype(jnp.int32), iter_cap)
     src = cpx.of(src)
 
