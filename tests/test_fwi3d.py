@@ -403,3 +403,119 @@ def test_tiny_3d_lbfgs_reduces_misfit():
     assert losses[-1] < 0.7 * losses[0], losses
     c = tuple(s // 2 for s in grid.shape)
     assert float(res.velocity[c]) > C0
+
+
+# ---------------------------------------------------------------------------
+# Random source encoding (beyond-reference; fwi3d.encode_supershots)
+# ---------------------------------------------------------------------------
+
+def _problem_full_aperture(n_elem=8):
+    """Full-aperture acquisition (min_angle=0.0): every transmitter shares
+    ONE canonical receiver ordering — the geometry encoding requires."""
+    grid = Grid3D.centered(12e-3, 1.0e-3)
+    pos = cylinder_positions(1, n_elem, 8e-3, 0.0)
+    acq = build_acquisition3d(grid, pos, min_angle=0.0)
+    vel_true = _blob(grid)
+    src = source_fields_3d(acq, grid)
+    wv, _ = born_series_solve_3d(vel_true, src, F, grid, PML,
+                                 iter_cap=ITER_CAP)
+    rec_obs = sample_receivers_3d(wv, jnp.asarray(acq.rx_idx))
+    data = build_fwi_data_3d(acq, rec_obs, F, grid)
+    # One-hot-source rescale into f32's normal range (the denormal-scale
+    # pitfall on tiny 3D problems, see tests/test_fft3d.py).
+    data = data._replace(src=cpx.scale(data.src, 1e6),
+                         rec_obs=cpx.scale(data.rec_obs, 1e6))
+    return grid, acq, vel_true, data
+
+
+def test_encode_supershots_linearity():
+    """u(S @ code) == u(S) @ code: the encoded forward field is the code
+    combination of the per-transmitter fields (Helmholtz linearity — the
+    identity source encoding rests on), and the encoded observations are
+    the same combination of the raw gathers."""
+    from waveforminversionust_tpu.fwi.fwi3d import encode_supershots
+
+    grid, acq, vel_true, data = _problem_full_aperture()
+    rng = np.random.default_rng(0)
+    code = jnp.asarray(rng.choice([-1.0, 1.0], size=(8, 3)), jnp.float32)
+    enc = encode_supershots(data, code)
+    assert enc.src.re.shape[0] == 3
+    assert enc.rx_idx.shape == (3,) + data.rx_idx.shape[1:]
+    np.testing.assert_array_equal(
+        np.asarray(enc.rx_idx),
+        np.broadcast_to(np.asarray(data.rx_idx[:1]), enc.rx_idx.shape))
+
+    vel = jnp.full(grid.shape, C0, jnp.float32)
+    wv_t, _ = born_series_solve_3d(vel, data.src, F, grid, PML,
+                                   iter_cap=ITER_CAP)
+    wv_e, _ = born_series_solve_3d(vel, enc.src, F, grid, PML,
+                                   iter_cap=ITER_CAP)
+    comb_re = jnp.einsum("t...,tm->m...", wv_t.re, code)
+    comb_im = jnp.einsum("t...,tm->m...", wv_t.im, code)
+    scale = float(jnp.max(jnp.abs(comb_re)))
+    np.testing.assert_allclose(np.asarray(wv_e.re), np.asarray(comb_re),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(wv_e.im), np.asarray(comb_im),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(enc.rec_obs.re),
+        np.asarray(code.T @ data.rec_obs.re), rtol=1e-5)
+
+
+def test_encoded_cg_matches_manually_encoded_data():
+    """One CG iteration with encode=m equals running the plain loop on
+    data encoded with the SAME code (deterministic wiring check: the
+    in-loop code draw is fold_in(PRNGKey(seed), iteration))."""
+    import jax
+
+    from waveforminversionust_tpu.fwi.fwi3d import encode_supershots
+
+    grid, acq, vel_true, data = _problem_full_aperture()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=1, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    m, seed = 4, 7
+    code = jax.random.rademacher(
+        jax.random.fold_in(jax.random.PRNGKey(seed), 0), (8, m),
+        jnp.float32)
+    v_enc, m_enc = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                   iter_cap=ITER_CAP, encode=m,
+                                   encode_seed=seed)
+    v_man, m_man = nonlinear_cg_3d(vel0, encode_supershots(data, code),
+                                   grid, fwi, pml=PML, iter_cap=ITER_CAP)
+    np.testing.assert_allclose(np.asarray(v_enc), np.asarray(v_man),
+                               rtol=1e-5, atol=1e-4)
+    assert float(m_enc.loss[0]) == pytest.approx(float(m_man.loss[0]),
+                                                 rel=1e-5)
+
+
+def test_encoded_cg_reduces_true_misfit():
+    """Encoded CG (8 tx -> 3 supershots, redrawn per iteration) still
+    drives down the TRUE full-batch misfit — the stochastic-gradient
+    property the ntx/m per-iteration saving rests on."""
+    grid, acq, vel_true, data = _problem_full_aperture()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=4, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    vel, metrics = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                   iter_cap=ITER_CAP, encode=3)
+    slow0, slow1 = 1.0 / vel0, 1.0 / vel
+    loss0, _, _, _ = objective_pieces_3d(vel0, slow0, data, grid, PML,
+                                         ITER_CAP, estimate_source=False)
+    loss1, _, _, _ = objective_pieces_3d(vel, slow1, data, grid, PML,
+                                         ITER_CAP, estimate_source=False)
+    assert np.all(np.isfinite(np.asarray(metrics.loss)))
+    assert float(loss1) < 0.7 * float(loss0), (float(loss0), float(loss1))
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(vel[c]) > C0
+
+
+def test_encode_rejects_per_tx_masks():
+    """The masked-acquisition bias is refused, not silently absorbed: with
+    per-tx acceptance masks the encoded crosstalk no longer cancels in
+    expectation (encode_supershots docstring)."""
+    grid, acq, vel_true, data = _problem()   # min_angle=0.8: per-tx masks
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    with pytest.raises(ValueError, match="shared receiver ordering"):
+        nonlinear_cg_3d(vel0, data, grid, FWIConfig(num_iterations=1),
+                        pml=PML, iter_cap=50, encode=2)

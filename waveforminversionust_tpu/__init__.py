@@ -19,7 +19,8 @@ from .fwi.objective import FWIData, build_fwi_data
 from .fwi.optimizers import CGResult, nonlinear_cg
 from .fwi.multifreq import (MultiFreqData, nonlinear_cg_multifreq,
                             nonlinear_cg_multifreq_sharded, stack_frequencies)
-from .fwi.fwi3d import FWIData3D, build_fwi_data_3d, nonlinear_cg_3d
+from .fwi.fwi3d import (FWIData3D, build_fwi_data_3d, encode_supershots,
+                        nonlinear_cg_3d)
 from .fwi.lbfgs import run_lbfgs
 from .fwi.runner import invert_dataset, reconstruction_rmse
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,

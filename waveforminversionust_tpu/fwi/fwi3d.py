@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FWIConfig, PMLConfig
 from ..models.acquisition3d import Acquisition3D, source_fields_3d
@@ -73,6 +74,40 @@ def scatter_to_volumes_3d(values: Cpx, rx_idx, shape) -> Cpx:
     z = jnp.zeros((ntx,) + shape, jnp.float32)
     return Cpx(z.at[tx, iz, iy, ix].add(values.re),
                z.at[tx, iz, iy, ix].add(values.im))
+
+
+def encode_supershots(data: FWIData3D, code) -> FWIData3D:
+    """Combine the transmit batch into encoded supershots.
+
+    Random source encoding (Krebs et al. 2009; Moghaddam & Herrmann 2010):
+    with a code matrix ``code`` (ntx, m) the linearity of the Helmholtz
+    equation gives u(S @ code) = U @ code, so the misfit of the m encoded
+    gathers against ``code``-combined observations is, in expectation over
+    Rademacher codes, the full ntx-shot misfit — at m solves instead of
+    ntx. The crosstalk terms are zero-mean; redrawing the code every
+    iteration (``nonlinear_cg_3d(encode=m)``) turns them into noise the
+    outer iteration averages out.
+
+    Exactness of the expectation REQUIRES every transmitter to share one
+    receiver set in one ordering (full-aperture acquisition:
+    ``build_acquisition3d(..., min_angle=0.0)``): with per-tx acceptance
+    masks the encoded field still contains every transmitter's energy at a
+    receiver, but the encoded observation omits the masked-out entries, so
+    the masked crosstalk no longer cancels in expectation. Enforced by
+    ``nonlinear_cg_3d``; this helper itself just combines.
+
+    This is productized for 3D only by measurement: the 2D direct-factor
+    loop's per-shot cost is ~15 ms of sweep work per iteration (mini-batch
+    ledger, PERF_NOTES round 3) — no lever arm. The 3D CBS/GMRES solve
+    costs are linear in the RHS count, so m supershots cut the dominant
+    term by ntx/m.
+    """
+    m = code.shape[1]
+    src = Cpx(jnp.einsum("t...,tm->m...", data.src.re, code),
+              jnp.einsum("t...,tm->m...", data.src.im, code))
+    rec = Cpx(code.T @ data.rec_obs.re, code.T @ data.rec_obs.im)
+    rx = jnp.broadcast_to(data.rx_idx[:1], (m,) + data.rx_idx.shape[1:])
+    return data._replace(src=src, rec_obs=rec, rx_idx=rx)
 
 
 def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
@@ -153,10 +188,6 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     return loss, grad, virt, rec_sim
 
 
-@partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
-                                   "pml", "iter_cap", "mesh", "grid_axis",
-                                   "solver3d", "gmres_tol", "gmres_restart",
-                                   "spectral"))
 def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     fwi: FWIConfig = FWIConfig(),
                     num_iterations: int | None = None,
@@ -164,7 +195,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     iter_cap: int = 600, mesh=None,
                     grid_axis: str = "grid", solver3d: str = "cbs",
                     gmres_tol: float = 2e-3, gmres_restart: int = 8,
-                    spectral: str = "auto"):
+                    spectral: str = "auto", encode: int | None = None,
+                    encode_seed: int = 0):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
 
     ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
@@ -180,19 +212,64 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     reductions, model update) stays global-view and GSPMD inserts the
     collectives. Verified sharded == unsharded in tests/test_fft3d.py.
 
+    ``encode=m``: random source encoding — every iteration redraws a
+    Rademacher code (ntx, m) from ``encode_seed`` and runs the whole step
+    (forward, adjoint, line-search solve) on m encoded supershots instead
+    of ntx transmitters, cutting the per-iteration solve cost by ntx/m
+    (the 3D solvers are linear in the RHS count). Requires a shared
+    receiver set in one ordering across transmitters
+    (``build_acquisition3d(..., min_angle=0.0)``) — see
+    :func:`encode_supershots` for why. The reported per-iteration loss is
+    the stochastic ENCODED misfit (different code each iteration); use
+    :func:`objective_pieces_3d` on the raw data for the true misfit.
+    With ``fwi.estimate_source_strength`` the fitted scale is per
+    SUPERSHOT — calibrate unknown per-element amplitudes beforehand.
+
     Returns (velocity (nz, ny, nx), CGMetrics history).
     """
+    if encode:
+        # Encoding is only exact-in-expectation over a shared receiver
+        # set (see encode_supershots). Validate here, OUTSIDE the jitted
+        # body, where rx_idx is still a concrete array.
+        rx = np.asarray(data.rx_idx)
+        if not (rx == rx[:1]).all():
+            raise ValueError(
+                "encode= needs one shared receiver ordering across "
+                "transmitters (full aperture, build_acquisition3d with "
+                "min_angle=0.0); this acquisition has per-tx masks")
+    return _nonlinear_cg_3d_jit(vel_init, data, grid, fwi, num_iterations,
+                                pml, iter_cap, mesh, grid_axis, solver3d,
+                                gmres_tol, gmres_restart, spectral, encode,
+                                encode_seed)
+
+
+@partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
+                                   "pml", "iter_cap", "mesh", "grid_axis",
+                                   "solver3d", "gmres_tol", "gmres_restart",
+                                   "spectral", "encode", "encode_seed"))
+def _nonlinear_cg_3d_jit(vel_init, data, grid, fwi, num_iterations,
+                         pml, iter_cap, mesh, grid_axis, solver3d,
+                         gmres_tol, gmres_restart, spectral, encode,
+                         encode_seed):
     n_iter = fwi.num_iterations if num_iterations is None else num_iterations
     vel0 = jnp.asarray(vel_init, jnp.float32)
     solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
                            grid_axis=grid_axis, solver3d=solver3d,
                            gmres_tol=gmres_tol, gmres_restart=gmres_restart,
                            spectral=spectral)
+    ntx = data.src.re.shape[0]
 
     def step(state, it):
         vel, slow, sd, gprev = state
+        if encode:
+            code = jax.random.rademacher(
+                jax.random.fold_in(jax.random.PRNGKey(encode_seed), it),
+                (ntx, encode), jnp.float32)
+            data_it = encode_supershots(data, code)
+        else:
+            data_it = data
         loss, grad, virt, rec_sim = objective_pieces_3d(
-            vel, slow, data, grid, pml, iter_cap,
+            vel, slow, data_it, grid, pml, iter_cap,
             estimate_source=fwi.estimate_source_strength,
             fwi_precondition=fwi.precondition,
             fwi_precondition_eps=fwi.precondition_eps,
@@ -205,12 +282,12 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
         # Linearized line search: third solve with the perturbation source
         # -virt * sd (reference: nonlinearcg.py:140-159).
         pert_src = cpx.mul(virt, Cpx(-sd_new[None], jnp.zeros_like(sd_new)[None]))
-        pert, _ = solve(vel, pert_src, data.f,
-                        attenuation=data.attenuation)
-        drec = sample_receivers_3d(pert, data.rx_idx)
+        pert, _ = solve(vel, pert_src, data_it.f,
+                        attenuation=data_it.attenuation)
+        drec = sample_receivers_3d(pert, data_it.rx_idx)
         # Full 3-formula step matrix, shared with the 2D loop (reference:
         # FrequencyDomainFWI.m:42-45, 149-172).
-        step_sz = _step_size(fwi.step_size, drec, data.rec_obs, rec_sim,
+        step_sz = _step_size(fwi.step_size, drec, data_it.rec_obs, rec_sim,
                              grad, sd_new, fwi.eps_stabilizer)
 
         slow_new = slow + step_sz * sd_new

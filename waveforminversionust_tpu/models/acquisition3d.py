@@ -82,17 +82,26 @@ def build_acquisition3d(grid: Grid3D, positions: np.ndarray,
     """
     pos = np.asarray(positions, np.float64)
     n = pos.shape[0]
-    unit = pos / np.maximum(np.linalg.norm(pos, axis=1, keepdims=True),
-                            1e-30)
-    cosang = np.clip(unit @ unit.T, -1.0, 1.0)
-    ang = np.arccos(cosang)                       # (n, n), 0 on the diagonal
-    accept = ang > min_angle
-    n_active = int(accept.sum(axis=1).min())
-    if n_active < 1:
-        raise ValueError("min_angle excludes every receiver for some tx")
-    # largest-angle receivers first, per tx, truncated to the uniform count
-    order = np.argsort(-ang, axis=1, kind="stable")
-    rx_elem = order[:, :n_active]                 # (n, n_active) element ids
+    if min_angle <= 0.0:
+        # Full aperture: every element receives for every transmitter, in
+        # CANONICAL element order (identical rx rows across tx). This is
+        # the geometry random source encoding requires — encoded gathers
+        # are column-aligned combinations only when all transmitters share
+        # one receiver ordering (fwi3d.encode_supershots).
+        rx_elem = np.tile(np.arange(n), (n, 1))
+    else:
+        unit = pos / np.maximum(np.linalg.norm(pos, axis=1, keepdims=True),
+                                1e-30)
+        cosang = np.clip(unit @ unit.T, -1.0, 1.0)
+        ang = np.arccos(cosang)                   # (n, n), 0 on the diagonal
+        accept = ang > min_angle
+        n_active = int(accept.sum(axis=1).min())
+        if n_active < 1:
+            raise ValueError("min_angle excludes every receiver for some tx")
+        # largest-angle receivers first, per tx, truncated to the uniform
+        # count
+        order = np.argsort(-ang, axis=1, kind="stable")
+        rx_elem = order[:, :n_active]             # (n, n_active) element ids
     idx = snap_to_grid3d(grid, pos)               # (n, 3)
     rx_idx = idx[rx_elem]                         # (n, n_active, 3)
     return Acquisition3D(src_idx=jnp.asarray(idx),
