@@ -113,6 +113,217 @@ def inverse_dtft_matrix_cpx(freqs, times, df) -> Cpx:
     return Cpx(jnp.cos(ph) * df, jnp.sin(ph) * df)
 
 
+# ---------------------------------------------------------------------------
+# Time-domain ACQUISITION pipeline: broadband channel data -> FWI datasets.
+#
+# The reference stops at a forward demo from ONE element
+# (TimeDomainSimulation.m) and inverts externally-prepared single-frequency
+# data (RecordedData.mat). Real UST systems record broadband time traces for
+# every transmit element; the functions below complete that workflow
+# TPU-natively: synthesize full (tx, rx, t) channel data (scan over a
+# frequency comb of batched multi-RHS Helmholtz solves + one MXU IDTFT
+# matmul), then extract any inversion frequencies from the traces (a DFT
+# quadrature) as the {frequency: RingDataset} mapping that
+# fwi.runner.invert_dataset consumes for true multi-frequency continuation.
+#
+# Scale notes: extraction needs NO source-spectrum deconvolution for FWI —
+# the objective's per-shot variable-projection source estimate
+# (fwi/objective.py) absorbs any per-frequency complex scale, so the same
+# pipeline applies to measured (real-valued) traces, where the one-sided
+# DFT returns spectrum*REC/2.
+# ---------------------------------------------------------------------------
+
+
+class TimeDomainDataset(NamedTuple):
+    """Broadband ring acquisition: complex analytic channel traces for every
+    transmit element, plus the synthesis comb metadata (the time-domain
+    analogue of :class:`~.synthesize.RingDataset`)."""
+
+    x: np.ndarray        # (nx,) simulation-grid x coords [m]
+    y: np.ndarray        # (ny,)
+    c: np.ndarray        # (ny, nx) true sound speed [m/s]
+    x_circ: np.ndarray   # (num_elements,) element x [m]
+    y_circ: np.ndarray   # (num_elements,)
+    freqs: np.ndarray    # (nf,) synthesis frequency comb [Hz]
+    df: float            # comb spacing [Hz]
+    spectrum: np.ndarray  # (nf,) transmit spectral weights
+    times: np.ndarray    # (nt,) uniform over one comb period 1/df
+    traces: np.ndarray   # (num_elements, num_elements, nt) complex64 [tx,rx,t]
+
+
+@partial(jax.jit, static_argnames=("grid", "solver"))
+def _sweep_record(vel, src, freqs, rx_y, rx_x, grid: Grid2D,
+                  solver: SolverConfig):
+    """Receiver data at every comb frequency: scan of batched multi-RHS
+    solves; returns (nf, ntx, nrx) real/imag planes."""
+    ntx = src.shape[0]
+    idx = (jnp.arange(ntx)[:, None], rx_y[None, :], rx_x[None, :])
+
+    def body(_, f):
+        u, _info = solve_helmholtz(vel, src, f, grid, solver)
+        if isinstance(u, Cpx):
+            return None, (u.re[idx], u.im[idx])
+        return None, (jnp.real(u[idx]), jnp.imag(u[idx]))
+
+    _, (re, im) = jax.lax.scan(body, None, freqs)
+    return re, im
+
+
+@jax.jit
+def _traces_from_comb(rec_re, rec_im, freqs, times, weights):
+    """IDTFT of the weighted comb: traces[t] = sum_f w_f REC_f e^{+2 pi i f t}
+    — one (nt, nf) x (nf, ntx*nrx) MXU matmul pair on split planes."""
+    nf, ntx, nrx = rec_re.shape
+    ph = 2 * jnp.pi * freqs[None, :] * times[:, None]          # (nt, nf)
+    cw = jnp.cos(ph) * weights[None, :]
+    sw = jnp.sin(ph) * weights[None, :]
+    fr = rec_re.reshape(nf, ntx * nrx)
+    fi = rec_im.reshape(nf, ntx * nrx)
+    tr = cw @ fr - sw @ fi                                     # (nt, ntx*nrx)
+    ti = cw @ fi + sw @ fr
+    return (tr.reshape(-1, ntx, nrx), ti.reshape(-1, ntx, nrx))
+
+
+def synthesize_time_domain_dataset(
+        vel, grid: Grid2D,
+        acquisition=None,
+        f_low: float = 0.25e6, f_high: float = 0.45e6, df: float = 0.025e6,
+        nt: int | None = None,
+        solver: SolverConfig = SolverConfig(),
+        seed: int = 0, random_amplitudes: bool = True,
+        x_elem=None, y_elem=None) -> TimeDomainDataset:
+    """Simulate broadband (tx, rx, t) channel data over a known speed map.
+
+    Every element transmits (multi-RHS batch, like
+    :func:`~.synthesize.synthesize_ring_dataset`); the Helmholtz equation is
+    solved on the comb ``f_low..f_high`` step ``df`` (``lax.scan``), and the
+    complex analytic traces come from one MXU IDTFT matmul with Hann spectral
+    weighting (reference physics: TimeDomainSimulation.m:34-56, extended
+    from 1 to all transmit elements).
+
+    The time axis is the DFT grid of one comb period: ``t_k = k/(nt*df)``,
+    ``k < nt`` — on it the comb lines are exactly orthogonal, so
+    :func:`extract_frequency_data` recovers the per-frequency receiver
+    matrices to round-off (``nt`` defaults to ``4*nf``, oversampled 4x for
+    readable waveforms; any ``nt >= nf`` preserves exactness).
+
+    Per-element random complex amplitudes (``random_amplitudes``) are shared
+    across the band — a flat-spectrum element response; the Hann window is
+    the transmit pulse spectrum.
+    """
+    from ..config import AcquisitionConfig
+    from .synthesize import dataclass_replace_tx_all
+
+    acquisition = acquisition if acquisition is not None else AcquisitionConfig()
+    freqs = np.arange(f_low, f_high + df / 2, df)
+    nf = len(freqs)
+    if nt is None:
+        nt = 4 * nf
+    if nt < nf:
+        raise ValueError(f"nt={nt} < nf={nf}: comb lines alias; extraction "
+                         "would mix frequencies")
+    times = np.arange(nt) / (nt * df)
+    spectrum = hanning_window(nf)
+
+    from ..models.acquisition import build_ring_acquisition
+    acq = build_ring_acquisition(grid, dataclass_replace_tx_all(acquisition),
+                                 x_elem=x_elem, y_elem=y_elem)
+    rng = np.random.default_rng(seed)
+    if random_amplitudes:
+        amps = (rng.standard_normal(acq.num_tx)
+                + 1j * rng.standard_normal(acq.num_tx)).astype(np.complex64)
+    else:
+        amps = np.ones(acq.num_tx, np.complex64)
+    src_np = acq.source_fields(amplitudes=amps)
+    src = cpx.of(src_np) if solver.split_complex else jnp.asarray(src_np)
+
+    rec_re, rec_im = _sweep_record(
+        jnp.asarray(vel, jnp.float32), src, jnp.asarray(freqs, jnp.float32),
+        jnp.asarray(acq.y_idx), jnp.asarray(acq.x_idx), grid, solver)
+    tr_re, tr_im = _traces_from_comb(
+        rec_re, rec_im, jnp.asarray(freqs, jnp.float32),
+        jnp.asarray(times, jnp.float32),
+        jnp.asarray(spectrum * df, jnp.float32))
+    traces = (np.asarray(jax.device_get(tr_re))
+              + 1j * np.asarray(jax.device_get(tr_im))).astype(np.complex64)
+    traces = np.moveaxis(traces, 0, -1)  # (ntx, nrx, nt)
+
+    return TimeDomainDataset(
+        x=grid.x.astype(np.float64), y=grid.y.astype(np.float64),
+        c=np.asarray(vel, np.float64),
+        x_circ=acq.x_elem, y_circ=acq.y_elem,
+        freqs=freqs, df=float(df), spectrum=spectrum, times=times,
+        traces=traces)
+
+
+def extract_frequency_data(traces, times, freqs, df,
+                           spectrum=None) -> np.ndarray:
+    """Per-frequency receiver matrices from channel traces: the DFT
+    quadrature ``REC_f = mean_t traces(t) e^{-2 pi i f t} / df``.
+
+    On the synthesis DFT time grid this inverts :func:`_traces_from_comb`
+    exactly for any comb line (orthogonality of the comb over one period);
+    for measured traces it is the standard narrowband bin extraction. Pass
+    the per-frequency transmit ``spectrum`` weights to divide them out, or
+    leave ``None`` and let the FWI objective's per-shot source estimation
+    absorb the scale (recommended for measured data, where the true
+    spectrum is unknown). Host-side preprocessing of host-resident
+    acquisition data (like data/matio.py), hence numpy.
+
+    Args:
+        traces: (..., nt) complex (or real — one-sided extraction of a real
+            signal returns spectrum*REC/2, an FWI-irrelevant scale).
+        times: (nt,) uniform sample times spanning one period 1/df.
+        freqs: scalar or (nf_out,) frequencies to extract [Hz].
+        df: comb spacing used in synthesis / frequency resolution [Hz].
+
+    Returns:
+        (nf_out, ...) complex64 receiver data, one leading entry per
+        extracted frequency.
+    """
+    traces = np.asarray(traces)
+    t = np.asarray(times, np.float64)
+    f = np.atleast_1d(np.asarray(freqs, np.float64))
+    kern = np.exp(-2j * np.pi * f[:, None] * t[None, :]) / (len(t) * df)
+    rec = np.einsum("ft,...t->f...", kern, traces)
+    if spectrum is not None:
+        s = np.atleast_1d(np.asarray(spectrum, np.float64))
+        rec /= s.reshape((-1,) + (1,) * (rec.ndim - 1))
+    return rec.astype(np.complex64)
+
+
+def timedomain_to_ring_datasets(td: TimeDomainDataset, freqs,
+                                deconvolve: bool = True) -> dict:
+    """Bridge to the inversion drivers: extract ``freqs`` from the traces and
+    return the ``{frequency: RingDataset}`` mapping
+    :func:`~..fwi.runner.invert_dataset` takes for multi-frequency
+    continuation over true broadband recordings.
+
+    ``deconvolve=True`` divides out the known synthesis spectrum at each
+    extracted comb line (requested frequencies must sit on the comb;
+    exact round trip). ``False`` leaves the spectral scale in the data —
+    the measured-data regime, absorbed by source estimation.
+    """
+    from .synthesize import RingDataset
+
+    freqs = np.atleast_1d(np.asarray(freqs, np.float64))
+    spec = None
+    if deconvolve:
+        line = np.rint((freqs - td.freqs[0]) / td.df).astype(int)
+        on_comb = (np.abs(freqs - (td.freqs[0] + line * td.df)) < td.df * 1e-3)
+        if not (on_comb.all() and (line >= 0).all()
+                and (line < len(td.freqs)).all()):
+            raise ValueError(f"deconvolve=True needs comb frequencies "
+                             f"{td.freqs[0]}..{td.freqs[-1]} step {td.df}; "
+                             f"got {freqs}")
+        spec = td.spectrum[line]
+    rec = extract_frequency_data(td.traces, td.times, freqs, td.df, spec)
+    return {float(f): RingDataset(x=td.x, y=td.y, c=td.c,
+                                  x_circ=td.x_circ, y_circ=td.y_circ,
+                                  f=float(f), rec_data=rec[i])
+            for i, f in enumerate(freqs)}
+
+
 class TimeDomainResult(NamedTuple):
     times: np.ndarray           # (nt,)
     freqs: np.ndarray           # (nf,)
