@@ -136,3 +136,16 @@ def test_cli_mat_export(tmp_path):
     assert d["VEL_F"].shape == (31, 31)
     assert d["xi"].size == 31 and d["yi"].size == 31
     assert d["loss"].size == 1 and np.all(np.isfinite(d["loss"]))
+
+
+def test_cli_broadband(tmp_path):
+    """`broadband` runs the whole time-domain -> extraction -> continuation
+    workflow at toy scale and writes the reconstruction plot."""
+    from waveforminversionust_tpu.cli import main
+    main(["broadband", "--xmax", "12e-3", "--fine-dx", "0.4e-3",
+          "--inv-dx", "0.8e-3", "--elements", "12", "--radius", "9e-3",
+          "--exclude", "2", "--f-low", "0.15e6", "--f-high", "0.25e6",
+          "--df", "0.05e6", "--freqs", "0.15e6", "0.25e6",
+          "--iterations", "1", "--c-init", "1500",
+          "--plot", str(tmp_path / "bb.png")])
+    assert os.path.exists(tmp_path / "bb.png")

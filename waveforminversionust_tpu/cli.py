@@ -7,6 +7,8 @@ benchmarking:
   run        invert a recorded dataset (CG or L-BFGS, optional continuation)
   simulate   synthesize a ring-array dataset from a phantom
   timedomain multi-frequency sweep -> time-domain movie + channel data
+  broadband  time-domain acquisition synthesis -> frequency extraction ->
+             multi-frequency continuation FWI (the full broadband workflow)
   bench      the headline benchmark (one JSON line)
 """
 
@@ -207,6 +209,60 @@ def _cmd_timedomain(args):
         print("plot written to", args.plot)
 
 
+def _cmd_broadband(args):
+    """Full broadband workflow: time-domain acquisition synthesis ->
+    frequency extraction -> multi-frequency continuation inversion (no
+    reference counterpart — it inverts externally-prepared single-frequency
+    data; see data/timedomain.py)."""
+    from .config import (AcquisitionConfig, ContinuationConfig, FWIConfig,
+                         SolverConfig)
+    from .data.timedomain import (synthesize_time_domain_dataset,
+                                  timedomain_to_ring_datasets)
+    from .fwi.runner import invert_dataset, reconstruction_rmse
+    from .models.acquisition import ring_positions, snap_to_grid
+    from .models.grid import Grid2D
+    from .models.phantom import breast_phantom
+    from .ops.solve import auto_split
+    from . import viz
+
+    coarse = Grid2D.centered(args.xmax, args.inv_dx)
+    fine = Grid2D.centered(args.xmax, args.fine_dx)
+    # snap elements to the INVERSION grid so both grids place them
+    # identically (see data.synthesize.synthesize_ring_dataset)
+    xi, yi = snap_to_grid(coarse, *ring_positions(args.elements, args.radius))
+    xs, ys = coarse.x[xi], coarse.y[yi]
+    vel = breast_phantom(fine, seed=args.seed)
+    acq = AcquisitionConfig(num_elements=args.elements, radius=args.radius,
+                            num_excluded_each_side=args.exclude,
+                            interpolation=args.interpolation)
+    solver = auto_split(SolverConfig())
+
+    td = synthesize_time_domain_dataset(
+        vel, fine, acq, f_low=args.f_low, f_high=args.f_high, df=args.df,
+        solver=solver, seed=args.seed, x_elem=xs, y_elem=ys)
+    print(f"traces {td.traces.shape} [tx, rx, t] over "
+          f"{len(td.freqs)} comb lines")
+
+    freqs = tuple(float(f) for f in (args.freqs or
+                                     (args.f_low, (args.f_low + args.f_high) / 2,
+                                      args.f_high)))
+    # deconvolve=False: the per-shot source estimate absorbs the transmit
+    # spectrum (the measured-data regime)
+    datasets = timedomain_to_ring_datasets(td, freqs, deconvolve=False)
+    res = invert_dataset(
+        datasets, grid=coarse, acquisition=acq, solver=solver,
+        fwi=FWIConfig(c_init=args.c_init),
+        continuation=ContinuationConfig(frequencies=freqs,
+                                        iterations_per_frequency=args.iterations))
+    print("loss history:", np.array2string(res.metrics["loss"], precision=3))
+    rmse = reconstruction_rmse(res.velocity, coarse, np.asarray(vel), fine)
+    print(f"reconstruction RMSE vs phantom: {rmse:.2f} m/s")
+    if args.plot:
+        viz.plot_reconstruction(coarse, res.velocity, true_map=np.asarray(vel),
+                                true_grid=fine, path=args.plot)
+        print("plot written to", args.plot)
+
+
 def _cmd_bench(args):
     import bench
     bench.main()
@@ -303,6 +359,33 @@ def main(argv=None):
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--plot", default=None)
     pt.set_defaults(fn=_cmd_timedomain)
+
+    pbb = sub.add_parser(
+        "broadband",
+        help="time-domain acquisition -> frequency extraction -> "
+             "multi-frequency FWI (full broadband workflow)")
+    pbb.add_argument("--xmax", type=float, default=120e-3)
+    pbb.add_argument("--fine-dx", type=float, default=0.6e-3,
+                     help="synthesis grid spacing (anti inverse crime)")
+    pbb.add_argument("--inv-dx", type=float, default=0.8e-3)
+    pbb.add_argument("--elements", type=int, default=64)
+    pbb.add_argument("--radius", type=float, default=110e-3)
+    pbb.add_argument("--exclude", type=int, default=7,
+                     help="receivers excluded each side of the transmitter")
+    pbb.add_argument("--interpolation", choices=["nearest", "bilinear"],
+                     default="nearest")
+    pbb.add_argument("--f-low", type=float, default=0.15e6)
+    pbb.add_argument("--f-high", type=float, default=0.35e6)
+    pbb.add_argument("--df", type=float, default=0.025e6,
+                     help="synthesis comb spacing")
+    pbb.add_argument("--freqs", nargs="*", type=float, default=None,
+                     help="inversion frequencies (default: band edges+center)")
+    pbb.add_argument("--iterations", type=int, default=5,
+                     help="CG iterations per continuation stage")
+    pbb.add_argument("--c-init", type=float, default=1480.0)
+    pbb.add_argument("--seed", type=int, default=0)
+    pbb.add_argument("--plot", default=None)
+    pbb.set_defaults(fn=_cmd_broadband)
 
     pb = sub.add_parser("bench", help="headline benchmark (JSON line)")
     pb.set_defaults(fn=_cmd_bench)
