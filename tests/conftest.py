@@ -57,6 +57,23 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module.
+
+    A full-suite process accumulates thousands of XLA:CPU JIT'd
+    executables in one LLVM ORC instance; on this image the compiler
+    nondeterministically SEGFAULTS deep into the run (observed three
+    times at tests ~100-170, always inside backend_compile_and_load;
+    each crashing test passes standalone). Releasing the jit caches per
+    module keeps the JIT footprint bounded — the cross-module recompiles
+    this costs were mostly happening anyway (the persistent cache is
+    disabled above for its own segfault, and modules rarely share traced
+    signatures)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

@@ -181,6 +181,36 @@ def precondition_gradient(grad, illum, eps_frac):
     return grad / (illum + eps_frac * jnp.max(illum))
 
 
+def mass_spread(fields, d, e):
+    """The optimal 9-point scheme's MASS-distribution stencil
+    ``W = {center: 1-d-e, edges: d/4, corners: e/4}`` applied as a symmetric
+    9-point correlation over the trailing (ny, nx) axes.
+
+    The discrete operator carries ``C k^2`` on all nine stencil legs
+    (stencil.helmholtz_coefficients: the ``(1-d-e)``/``d/4``/``e/4``
+    factors), so the EXACT discrete Frechet derivative dH/dslowness spreads
+    the virtual source over the stencil with these weights. The classical
+    adjoint-state formula — the reference's published gradient
+    (nonlinearcg.py:118-127 / FrequencyDomainFWI.m:110-117) and our CG loop
+    (kept for trajectory parity) — lumps it at the center (W = identity):
+    an eps-independent ~7% FD mismatch at 350 kHz/0.8 mm (measured,
+    tests/test_newton.py). W is symmetric, so it is its own adjoint."""
+    wc, wd, we = 1.0 - d - e, d / 4.0, e / 4.0
+
+    def spread(p):
+        pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1)))
+        c = pp[:, 1:-1, 1:-1]
+        edges = (pp[:, 1:-1, :-2] + pp[:, 1:-1, 2:]
+                 + pp[:, :-2, 1:-1] + pp[:, 2:, 1:-1])
+        corners = (pp[:, :-2, :-2] + pp[:, :-2, 2:]
+                   + pp[:, 2:, :-2] + pp[:, 2:, 2:])
+        return wc * c + wd * edges + we * corners
+
+    if isinstance(fields, Cpx):
+        return cpx.apply_parts(spread, fields)
+    return spread(fields)
+
+
 def virtual_source(slowness, wavefields, f, alpha_signed=None):
     """VIRT = dk^2/d(slowness) * u — the dH/d(slowness) action on u
     (reference: nonlinearcg.py:120, FrequencyDomainFWI.m:110-111).
