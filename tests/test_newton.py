@@ -168,3 +168,27 @@ def test_gauss_newton_beats_cg_per_outer_iteration():
     cg_final = float(fwi_loss((1.0 / cg.velocity).ravel(), data, coarse,
                               SOLVER))
     assert gn_final < cg_final
+
+
+def test_runner_gn_method():
+    """invert_dataset(method="gn") runs the GN optimizer end to end
+    (including multi-stage-compatible metrics plumbing)."""
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.runner import invert_dataset
+    from waveforminversionust_tpu.models.acquisition import (ring_positions,
+                                                             snap_to_grid)
+
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    xi, yi = snap_to_grid(coarse, *ring_positions(ACQ.num_elements,
+                                                  ACQ.radius))
+    xs, ys = coarse.x[xi], coarse.y[yi]
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    true_vel = smooth_blob_phantom(fine, radius=8e-3, dc=30, c_bkgnd=C0)
+    ds = synthesize_ring_dataset(true_vel, fine, ACQ, f=F, seed=3,
+                                 solver=SOLVER, x_elem=xs, y_elem=ys)
+    res = invert_dataset(ds, grid=coarse, acquisition=ACQ, solver=SOLVER,
+                         fwi=FWIConfig(c_init=C0, num_iterations=2),
+                         method="gn")
+    loss = res.metrics["loss"]
+    assert loss.shape == (2,) and np.all(np.isfinite(loss))
+    assert loss[1] <= loss[0]

@@ -275,9 +275,12 @@ def main(argv=None):
 
     pr = sub.add_parser("run", help="invert a recorded dataset")
     pr.add_argument("data", help=".mat file in the RecordedData schema")
-    pr.add_argument("--method", choices=["cg", "lbfgs", "alpha", "joint"],
+    pr.add_argument("--method", choices=["cg", "lbfgs", "gn", "alpha",
+                                         "joint"],
                     default="cg",
-                    help="cg/lbfgs invert velocity (reference paths); "
+                    help="cg/lbfgs invert velocity (reference paths); 'gn' "
+                         "is truncated Gauss-Newton (framework addition — "
+                         "fewer iterations to a given misfit); "
                          "'alpha' inverts the attenuation map in a medium "
                          "at --c-init, 'joint' inverts velocity and alpha "
                          "together (framework additions; L-BFGS through "

@@ -57,7 +57,9 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         dataset: :class:`~..data.synthesize.RingDataset`.
         grid: reconstruction grid (defaults to the reference's 301x301).
         method: "cg" (nonlinear conjugate gradient, the reference's primary
-            path), "lbfgs" (autodiff quasi-Newton), or "joint-multifreq"
+            path), "lbfgs" (autodiff quasi-Newton), "gn" (truncated
+            Gauss-Newton, fwi.newton — fewer outer iterations to a given
+            misfit), or "joint-multifreq"
             (all frequencies of a {frequency: dataset} mapping inverted
             JOINTLY — summed misfits/gradients per iteration — instead of
             warm-started sequential continuation).
@@ -243,6 +245,13 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             vel = res.velocity
             losses_lbfgs.append(np.asarray(res.loss_history))
             stage_metrics = res.loss_history
+        elif method == "gn":
+            from .newton import run_gauss_newton
+            res = run_gauss_newton(vel, data, grid, solver, fwi=fwi,
+                                   num_iterations=n_iter)
+            vel = res.velocity
+            losses_lbfgs.append(np.asarray(res.metrics.loss))
+            stage_metrics = res.metrics
         else:
             raise ValueError(f"unknown method {method!r}")
         if callback is not None:
