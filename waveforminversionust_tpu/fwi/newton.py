@@ -257,6 +257,16 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
         # illumination is ~19 orders smaller than diag(J^H J) here, which
         # silently turns damping and smoothing into no-ops (measured: a
         # 100x reg_smooth ladder left loss AND model bit-identical).
+        # Note the pseudo-Hessian's MAGNITUDE relative to diag(J^H J) is
+        # geometry-dependent (it misses the receiver-side Green's factor),
+        # so lm_damping/reg_smooth are per-problem knobs — as in every
+        # Levenberg-Marquardt implementation. A Hutchinson-calibrated
+        # variant (true-curvature scale) was measured and NOT adopted
+        # here: it rescales the knobs per geometry but did not improve
+        # (toy blob: best err 1.36 at rs=300 calibrated vs 0.85 at rs=1
+        # raw; the reference-workload results in PERF_NOTES use the raw
+        # scale). resolution.psf_probe DOES calibrate — appraisal needs
+        # damping in true-curvature units.
         illum = illumination_map(virt)
         diag = illum + fwi.precondition_eps * jnp.max(illum)
         # Smoothing term in the CURVATURE only (Marquardt-style): within
