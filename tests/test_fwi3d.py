@@ -519,3 +519,24 @@ def test_encode_rejects_per_tx_masks():
     with pytest.raises(ValueError, match="shared receiver ordering"):
         nonlinear_cg_3d(vel0, data, grid, FWIConfig(num_iterations=1),
                         pml=PML, iter_cap=50, encode=2)
+
+
+def test_tiny_3d_gauss_newton_inverts():
+    """run_gauss_newton_3d (the volumetric second-order optimizer): loss
+    monotone non-increasing (backtracking globalization), strictly lower
+    at the end, update moves toward the true blob. GN normalizes the data
+    internally, so the one-hot denormal rescale is not needed here."""
+    from waveforminversionust_tpu.fwi.newton import run_gauss_newton_3d
+
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    vel, m = run_gauss_newton_3d(vel0, data, grid, fwi, num_iterations=2,
+                                 cg_iters=4, pml=PML, iter_cap=ITER_CAP)
+    loss = np.asarray(m.loss)
+    assert np.all(np.isfinite(loss))
+    assert np.all(np.diff(loss) <= 1e-6 * loss[0])
+    assert np.all(np.isfinite(np.asarray(vel)))
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(vel[c]) > C0

@@ -22,7 +22,8 @@ from .fwi.multifreq import (MultiFreqData, nonlinear_cg_multifreq,
 from .fwi.fwi3d import (FWIData3D, build_fwi_data_3d, encode_supershots,
                         nonlinear_cg_3d)
 from .fwi.lbfgs import run_lbfgs
-from .fwi.newton import GNResult, make_frechet_operators, run_gauss_newton
+from .fwi.newton import (GNResult, make_frechet_operators, run_gauss_newton,
+                         run_gauss_newton_3d)
 from .fwi.runner import invert_dataset, reconstruction_rmse
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,
                                    cylinder_positions, hemisphere_positions)

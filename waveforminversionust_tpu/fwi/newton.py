@@ -73,6 +73,76 @@ def _mul_fields(fields, scalar_map):
     return fields * scalar_map[None].astype(fields.dtype)
 
 
+def _laplacian_ltl(m):
+    """L^T L for first-order forward differences along every axis (the
+    Hessian of regularization.tikhonov_value, dimension-generic). Operator
+    inf-norm is 4 * ndim."""
+    out = jnp.zeros_like(m)
+    for ax in range(m.ndim):
+        lo = tuple(slice(None, -1) if a == ax else slice(None)
+                   for a in range(m.ndim))
+        hi = tuple(slice(1, None) if a == ax else slice(None)
+                   for a in range(m.ndim))
+        d = m[hi] - m[lo]
+        out = out.at[lo].add(-d)
+        out = out.at[hi].add(d)
+    return out
+
+
+def _pcg(hvp, b, diag, cg_iters: int, cg_tol: float):
+    """Fixed-length diagonally-preconditioned linear CG on the damped
+    normal equations; converged iterations freeze (post-convergence
+    updates run on subnormal residuals and can NaN — measured). Returns
+    (x, relres)."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = r / diag
+    p = z
+    rz = jnp.sum(r * z)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-38)
+    tol2 = cg_tol ** 2 * b2
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        live = jnp.sum(r * r) > tol2
+        ap = hvp(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-38)
+        x1 = x + alpha * p
+        r1 = r - alpha * ap
+        z1 = r1 / diag
+        rz1 = jnp.sum(r1 * z1)
+        p1 = z1 + (rz1 / jnp.maximum(rz, 1e-38)) * p
+        new = tuple(jnp.where(live, a, b_)
+                    for a, b_ in zip((x1, r1, p1, rz1), (x, r, p, rz)))
+        return new, None
+
+    (x, r, _, _), _ = jax.lax.scan(step, (x, r, p, rz), None,
+                                   length=cg_iters)
+    return x, jnp.sqrt(jnp.sum(r * r) / b2)
+
+
+def _linearized_step(drec, residual):
+    """The reference's RESIDUAL step formula along a direction whose
+    receiver response is ``drec`` (nonlinearcg.py:22-32), nonfinite-safe."""
+    if isinstance(drec, Cpx):
+        num = -jnp.sum(drec.re * residual.re + drec.im * residual.im)
+        den = jnp.sum(drec.re ** 2 + drec.im ** 2)
+    else:
+        num = -jnp.real(jnp.sum(jnp.conj(drec) * residual))
+        den = jnp.real(jnp.sum(jnp.conj(drec) * drec))
+    step = num / jnp.maximum(den, 1e-38)
+    return jnp.where(jnp.isfinite(step), step, 0.0)
+
+
+def _data_normalization(rec_obs):
+    """O(1)-data scale factor (f32 conditioning; see run_gauss_newton)."""
+    if isinstance(rec_obs, Cpx):
+        d2 = jnp.mean(cpx.abs2(rec_obs))
+    else:
+        d2 = jnp.mean(jnp.abs(rec_obs) ** 2)
+    return 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-38))
+
+
 def _grad_contract(virt, adj_wv):
     """-sum_tx Re(conj(VIRT) * adjoint field) — the adjoint-state gradient
     contraction (reference: nonlinearcg.py:126-127)."""
@@ -198,11 +268,7 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
     # Scaling src AND rec_obs by the same factor is an exactly equivalent
     # problem: rec_sim is linear in src, source estimation is scale-free,
     # and the reported loss is un-scaled back below.
-    if isinstance(data.rec_obs, Cpx):
-        d2 = jnp.mean(cpx.abs2(data.rec_obs))
-    else:
-        d2 = jnp.mean(jnp.abs(data.rec_obs) ** 2)
-    s_d = 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-38))
+    s_d = _data_normalization(data.rec_obs)
 
     def _sc(x):
         return cpx.scale(x, s_d) if isinstance(x, Cpx) else x * s_d
@@ -281,59 +347,16 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
         # backtracking guard) stays the pure misfit.
         s_reg = reg_smooth * jnp.mean(diag) / 8.0
 
-        def ltl(m):
-            dx = m[:, 1:] - m[:, :-1]
-            dy = m[1:, :] - m[:-1, :]
-            out = jnp.zeros_like(m)
-            out = out.at[:, :-1].add(-dx).at[:, 1:].add(dx)
-            out = out.at[:-1, :].add(-dy).at[1:, :].add(dy)
-            return out
-
         def hvp(dm):
             return (jt_apply(j_apply(dm)) + lm_damping * diag * dm
-                    + s_reg * ltl(dm))
+                    + s_reg * _laplacian_ltl(dm))
 
         # Inner preconditioned linear CG on (J^H J + lam diag) dm = -grad.
-        # Fixed length for one XLA program; converged iterations freeze.
-        b = -grad
-        x = jnp.zeros_like(b)
-        r = b
-        z = r / diag
-        p = z
-        rz = jnp.sum(r * z)
-        b2 = jnp.maximum(jnp.sum(b * b), 1e-38)
-        tol2 = cg_tol ** 2 * b2
-
-        def cg_step(carry, _):
-            x, r, p, rz = carry
-            live = jnp.sum(r * r) > tol2
-            ap = hvp(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-38)
-            x1 = x + alpha * p
-            r1 = r - alpha * ap
-            z1 = r1 / diag
-            rz1 = jnp.sum(r1 * z1)
-            p1 = z1 + (rz1 / jnp.maximum(rz, 1e-38)) * p
-            new = tuple(jnp.where(live, a, b_)
-                        for a, b_ in zip((x1, r1, p1, rz1), (x, r, p, rz)))
-            return new, None
-
-        (x, r, _, _), _ = jax.lax.scan(cg_step, (x, r, p, rz), None,
-                                       length=cg_iters)
-        cg_relres = jnp.sqrt(jnp.sum(r * r) / b2)
-        dm = x
+        dm, cg_relres = _pcg(hvp, -grad, diag, cg_iters, cg_tol)
 
         # Linearized exact step along dm (the reference's RESIDUAL formula,
         # nonlinearcg.py:22-32): corrects the truncated-CG scale.
-        drec = j_apply(dm)
-        if isinstance(drec, Cpx):
-            num = -jnp.sum(drec.re * residual.re + drec.im * residual.im)
-            den = jnp.sum(drec.re ** 2 + drec.im ** 2)
-        else:
-            num = -jnp.real(jnp.sum(jnp.conj(drec) * residual))
-            den = jnp.real(jnp.sum(jnp.conj(drec) * drec))
-        step = num / jnp.maximum(den, 1e-38)
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        step = _linearized_step(j_apply(dm), residual)
 
         # Globalization: backtrack (halve the step) until the TRUE misfit
         # decreases — GN steps can overshoot where the Born linearization
@@ -371,3 +394,149 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
 
     slow, metrics = jax.lax.scan(outer, slow0, None, length=num_iterations)
     return GNResult(velocity=1.0 / slow, metrics=metrics)
+
+
+# ---------------------------------------------------------------------------
+# 3D: the same inexact Newton-CG over the spectral (CBS/GMRES) solver.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
+                                   "cg_iters", "pml", "iter_cap", "solver3d",
+                                   "gmres_tol", "gmres_restart", "spectral"))
+def run_gauss_newton_3d(vel_init, data, grid, fwi: FWIConfig = FWIConfig(),
+                        num_iterations: int = 5, cg_iters: int = 6,
+                        lm_damping: float = 0.1, reg_smooth: float = 1.0,
+                        cg_tol: float = 1e-3, pml=None, iter_cap: int = 600,
+                        solver3d: str = "gmres", gmres_tol: float = 2e-3,
+                        gmres_restart: int = 8, spectral: str = "auto"):
+    """Truncated Gauss-Newton over the 3D spectral solver — the volumetric
+    member of the optimizer family (CG: fwi3d.nonlinear_cg_3d; L-BFGS:
+    lbfgs.run_lbfgs_3d; this: second order).
+
+    Same scheme as :func:`run_gauss_newton`: per outer iteration one
+    forward + one adjoint solve give (loss, gradient); ``cg_iters`` of
+    pseudo-Hessian-preconditioned linear CG on the LM-damped + smoothed
+    normal equations give the update; the linearized exact step +
+    halve-until-decrease backtracking keep it monotone. Unlike 2D there is
+    no factorization to amortize — every J/J^H application is a full
+    CBS/GMRES solve — so ``cg_iters`` is the cost knob: an outer iteration
+    costs (3 + 2*cg_iters + backtracks) solves. For large transmit counts
+    pre-encode the data into supershots (fwi3d.encode_supershots with a
+    FIXED code — GN linearizes per outer iteration, so a per-iteration
+    redraw is not needed for correctness, only for crosstalk averaging).
+
+    One simplification vs 2D: the CBS operator applies k^2 POINTWISE
+    (ops/born3d.py — no 9-point mass distribution), so the classical
+    virtual source IS the exact discrete Frechet here; there is no
+    exact/lumped split.
+
+    Args:
+        data: :class:`~.fwi3d.FWIData3D`.
+        pml: defaults to the 3D solvers' PMLConfig(a0=20, l_pml=12e-3).
+
+    Returns:
+        (velocity (nz, ny, nx), GNMetrics history).
+    """
+    from ..config import PMLConfig
+    from .fwi3d import (_make_solve_3d, sample_receivers_3d,
+                        scatter_to_volumes_3d)
+
+    if pml is None:
+        pml = PMLConfig(a0=20.0, l_pml=12e-3)
+    solve = _make_solve_3d(grid, pml, iter_cap, solver3d=solver3d,
+                           gmres_tol=gmres_tol, gmres_restart=gmres_restart,
+                           spectral=spectral)
+
+    vel0 = jnp.asarray(vel_init, jnp.float32)
+    s_d = _data_normalization(data.rec_obs)
+    data = data._replace(src=cpx.scale(data.src, s_d),
+                         rec_obs=cpx.scale(data.rec_obs, s_d))
+    loss_unscale = 1.0 / (s_d * s_d)
+
+    def project(slow_x):
+        if fwi.clip_velocity is None:
+            return slow_x
+        lo, hi = fwi.clip_velocity
+        return 1.0 / jnp.clip(1.0 / slow_x, lo, hi)
+
+    def forward(slow_x):
+        wv_x, _ = solve(1.0 / slow_x, data.src, data.f,
+                        attenuation=data.attenuation)
+        rec_x = sample_receivers_3d(wv_x, data.rx_idx)
+        if fwi.estimate_source_strength:
+            s_est = estimate_source_strengths(rec_x, data.rec_obs)
+            wv_x = cpx.mul(wv_x, Cpx(s_est.re[:, None, None, None],
+                                     s_est.im[:, None, None, None]))
+            rec_x = cpx.mul(rec_x, Cpx(s_est.re[:, None],
+                                       s_est.im[:, None]))
+        return wv_x, rec_x, misfit(rec_x, data.rec_obs)
+
+    def outer(slow, _):
+        vel = 1.0 / slow
+        wv, rec_sim, loss = forward(slow)
+        residual = rec_sim - data.rec_obs
+
+        omega = 2 * jnp.pi * data.f
+        fr = (2 * omega ** 2 * slow)[None]
+        if data.attenuation is None:
+            virt = cpx.scale(wv, fr)
+        else:
+            fi = (2 * omega * jnp.sign(jnp.float32(pml.sign_convention))
+                  * data.attenuation)[None]
+            virt = cpx.mul(wv, Cpx(jnp.broadcast_to(fr, wv.re.shape),
+                                   jnp.broadcast_to(fi, wv.im.shape)))
+
+        def j_apply(dm):
+            du, _ = solve(vel, cpx.scale(virt, -dm[None]), data.f,
+                          attenuation=data.attenuation)
+            return sample_receivers_3d(du, data.rx_idx)
+
+        def jt_apply(r):
+            a, _ = solve(vel, scatter_to_volumes_3d(r, data.rx_idx,
+                                                    grid.shape),
+                         data.f, adjoint=True, attenuation=data.attenuation)
+            return -jnp.sum(virt.re * a.re + virt.im * a.im, axis=0)
+
+        grad = jt_apply(residual)
+        illum = illumination_map(virt)
+        diag = illum + fwi.precondition_eps * jnp.max(illum)
+        s_reg = reg_smooth * jnp.mean(diag) / 12.0  # ||L^T L||_inf = 4*ndim
+
+        def hvp(dm):
+            return (jt_apply(j_apply(dm)) + lm_damping * diag * dm
+                    + s_reg * _laplacian_ltl(dm))
+
+        dm, cg_relres = _pcg(hvp, -grad, diag, cg_iters, cg_tol)
+        step = _linearized_step(j_apply(dm), residual)
+
+        max_bt = 4
+
+        def bt_cond(st):
+            k, _, l_new, _ = st
+            return jnp.logical_and(jnp.logical_or(~jnp.isfinite(l_new),
+                                                  l_new >= loss), k < max_bt)
+
+        def bt_body(st):
+            k, t, _, _ = st
+            t2 = 0.5 * t
+            slow_c = project(slow + t2 * dm)
+            return (k + 1, t2, forward(slow_c)[2], slow_c)
+
+        slow_0 = project(slow + step * dm)
+        k_bt, t_eff, l_new, slow_acc = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (jnp.int32(0), step, forward(slow_0)[2], slow_0))
+        ok = jnp.logical_and(jnp.isfinite(l_new), l_new < loss)
+        slow_new = jnp.where(ok, slow_acc, slow)
+        t_eff = jnp.where(ok, t_eff, 0.0)
+
+        m = GNMetrics(loss=loss * loss_unscale,
+                      grad_norm=jnp.linalg.norm(grad) * loss_unscale,
+                      step_size=t_eff, cg_relres=cg_relres,
+                      backtracks=k_bt)
+        return slow_new, m
+
+    slow, metrics = jax.lax.scan(outer, 1.0 / vel0, None,
+                                 length=num_iterations)
+    return 1.0 / slow, metrics

@@ -108,32 +108,8 @@ def psf_probe(vel, data: FWIData, grid: Grid2D,
         return jt_apply(j_apply(dm)) + lm_damping * diag * dm
 
     def solve_normal(b):
-        x = jnp.zeros_like(b)
-        r = b
-        z = r / diag
-        p = z
-        rz = jnp.sum(r * z)
-        b2 = jnp.maximum(jnp.sum(b * b), 1e-38)
-
-        def step(carry, _):
-            x, r, p, rz = carry
-            # freeze once converged: post-convergence iterations run on
-            # subnormal residuals and can NaN (measured)
-            live = jnp.sum(r * r) > 1e-12 * b2
-            ap = hvp(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-38)
-            x1 = x + alpha * p
-            r1 = r - alpha * ap
-            z1 = r1 / diag
-            rz1 = jnp.sum(r1 * z1)
-            p1 = z1 + (rz1 / jnp.maximum(rz, 1e-38)) * p
-            new = tuple(jnp.where(live, a, b_) for a, b_ in
-                        zip((x1, r1, p1, rz1), (x, r, p, rz)))
-            return new, None
-
-        (x, _, _, _), _ = jax.lax.scan(step, (x, r, p, rz), None,
-                                       length=cg_iters)
-        return x
+        from .newton import _pcg
+        return _pcg(hvp, b, diag, cg_iters, 1e-6)[0]
 
     probes = jnp.asarray(probes, jnp.float32)
 
