@@ -24,8 +24,10 @@ equations
 
 preconditioned by the illumination diagonal (objective.illumination_map —
 the GN pseudo-Hessian diagonal surrogate), then the reference's linearized
-exact step along dm. Every solve of the outer iteration — 3 + 2*cg_iters
-of them — reuses ONE banded factorization; on TPU that is the fused Pallas
+exact step along dm, made monotone by halve-until-decrease backtracking
+(each trial = one factorization + forward solve; zero trials on the
+measured workloads). The 2 + 2*cg_iters gradient/Hvp solves of an outer
+iteration reuse ONE banded factorization; on TPU that is the fused Pallas
 factor + sweeps (ops/pallas_factor.py, ops/pallas_sweep.py), so an inner
 Hvp costs two sweep passes, not a factorization.
 
