@@ -540,3 +540,37 @@ def test_tiny_3d_gauss_newton_inverts():
     assert np.all(np.isfinite(np.asarray(vel)))
     c = tuple(s // 2 for s in grid.shape)
     assert float(vel[c]) > C0
+
+
+def test_3d_gauss_newton_composes_with_encoding():
+    """Feature composition: a FIXED Rademacher code pre-encodes the data
+    (encode_supershots) and GN runs on the m supershots — GN linearizes per
+    outer iteration, so a static code is a well-posed (smaller) least-
+    squares problem; the per-iteration redraw CG uses is only for crosstalk
+    averaging. Full aperture required, as for encoded CG."""
+    import jax
+    from waveforminversionust_tpu.fwi.fwi3d import encode_supershots
+    from waveforminversionust_tpu.fwi.newton import run_gauss_newton_3d
+
+    grid = Grid3D.centered(12e-3, 1.0e-3)
+    pos = cylinder_positions(1, 8, 8e-3, 0.0)
+    acq = build_acquisition3d(grid, pos, min_angle=0.0)  # full aperture
+    vel_true = _blob(grid)
+    src = source_fields_3d(acq, grid)
+    wv, _ = born_series_solve_3d(vel_true, src, F, grid, PML,
+                                 iter_cap=ITER_CAP)
+    rec_obs = sample_receivers_3d(wv, jnp.asarray(acq.rx_idx))
+    data = build_fwi_data_3d(acq, rec_obs, F, grid)
+    code = jax.random.rademacher(jax.random.PRNGKey(3), (8, 4), jnp.float32)
+    enc = encode_supershots(data, code)
+
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    vel, m = run_gauss_newton_3d(vel0, enc, grid, fwi, num_iterations=2,
+                                 cg_iters=3, pml=PML, iter_cap=ITER_CAP)
+    loss = np.asarray(m.loss)
+    assert np.all(np.isfinite(loss))
+    assert np.all(np.diff(loss) <= 1e-6 * loss[0])
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(vel[c]) > C0
