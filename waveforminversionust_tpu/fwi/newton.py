@@ -311,8 +311,16 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
                 rec_x = rec_x * s_est[:, None]
         return op_x, wv_x, rec_x, misfit(rec_x, data.rec_obs)
 
-    def outer(slow, _):
-        op, wv, rec_sim, loss = forward(slow)
+    def forward_state(slow_x):
+        return (slow_x,) + forward(slow_x)
+
+    # The scan carry holds the FULL forward state (model, factored
+    # operator, scaled wavefield, receiver data, misfit): the accepted
+    # backtracking trial's evaluation IS the next iteration's forward
+    # work, so nothing is recomputed — one factorization + forward solve
+    # per accepted step, not two.
+    def outer(carry, _):
+        slow, op, wv, rec_sim, loss = carry
         residual = rec_sim - data.rec_obs
 
         j_apply, jt_apply, virt = make_frechet_operators(
@@ -370,32 +378,33 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
         max_bt = 4
 
         def bt_cond(st):
-            k, _, l_new, _ = st
+            k, _, cand = st
+            l_new = cand[4]
             return jnp.logical_and(jnp.logical_or(~jnp.isfinite(l_new),
                                                   l_new >= loss), k < max_bt)
 
         def bt_body(st):
-            k, t, _, _ = st
+            k, t, _ = st
             t2 = 0.5 * t
-            slow_c = project(slow + t2 * dm)
-            return (k + 1, t2, forward(slow_c)[3], slow_c)
+            return (k + 1, t2, forward_state(project(slow + t2 * dm)))
 
-        slow_0 = project(slow + step * dm)
-        k_bt, t_eff, l_new, slow_acc = jax.lax.while_loop(
+        k_bt, t_eff, cand = jax.lax.while_loop(
             bt_cond, bt_body,
-            (jnp.int32(0), step, forward(slow_0)[3], slow_0))
-        ok = jnp.logical_and(jnp.isfinite(l_new), l_new < loss)
-        slow_new = jnp.where(ok, slow_acc, slow)
+            (jnp.int32(0), step, forward_state(project(slow + step * dm))))
+        ok = jnp.logical_and(jnp.isfinite(cand[4]), cand[4] < loss)
+        new_carry = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                 cand, carry)
         t_eff = jnp.where(ok, t_eff, 0.0)
 
         m = GNMetrics(loss=loss * loss_unscale,
                       grad_norm=jnp.linalg.norm(grad) * loss_unscale,
                       step_size=t_eff, cg_relres=cg_relres,
                       backtracks=k_bt)
-        return slow_new, m
+        return new_carry, m
 
-    slow, metrics = jax.lax.scan(outer, slow0, None, length=num_iterations)
-    return GNResult(velocity=1.0 / slow, metrics=metrics)
+    carry, metrics = jax.lax.scan(outer, forward_state(slow0), None,
+                                  length=num_iterations)
+    return GNResult(velocity=1.0 / carry[0], metrics=metrics)
 
 
 # ---------------------------------------------------------------------------
@@ -474,20 +483,24 @@ def run_gauss_newton_3d(vel_init, data, grid, fwi: FWIConfig = FWIConfig(),
                                        s_est.im[:, None]))
         return wv_x, rec_x, misfit(rec_x, data.rec_obs)
 
-    def outer(slow, _):
+    def forward_state(slow_x):
+        return (slow_x,) + forward(slow_x)
+
+    # Forward state rides the scan carry (cf. run_gauss_newton): the
+    # accepted trial's volumetric solve IS the next iteration's forward —
+    # one full CBS/GMRES solve saved per outer iteration.
+    def outer(carry, _):
+        slow, wv, rec_sim, loss = carry
         vel = 1.0 / slow
-        wv, rec_sim, loss = forward(slow)
         residual = rec_sim - data.rec_obs
 
-        omega = 2 * jnp.pi * data.f
-        fr = (2 * omega ** 2 * slow)[None]
-        if data.attenuation is None:
-            virt = cpx.scale(wv, fr)
-        else:
-            fi = (2 * omega * jnp.sign(jnp.float32(pml.sign_convention))
-                  * data.attenuation)[None]
-            virt = cpx.mul(wv, Cpx(jnp.broadcast_to(fr, wv.re.shape),
-                                   jnp.broadcast_to(fi, wv.im.shape)))
+        # virtual_source / _grad_contract are dimension-generic ([None]
+        # broadcast over the field axes) — shared with the 2D paths.
+        alpha_signed = None
+        if data.attenuation is not None:
+            alpha_signed = (jnp.sign(jnp.float32(pml.sign_convention))
+                            * data.attenuation)
+        virt = virtual_source(slow, wv, data.f, alpha_signed)
 
         def j_apply(dm):
             du, _ = solve(vel, cpx.scale(virt, -dm[None]), data.f,
@@ -498,7 +511,7 @@ def run_gauss_newton_3d(vel_init, data, grid, fwi: FWIConfig = FWIConfig(),
             a, _ = solve(vel, scatter_to_volumes_3d(r, data.rx_idx,
                                                     grid.shape),
                          data.f, adjoint=True, attenuation=data.attenuation)
-            return -jnp.sum(virt.re * a.re + virt.im * a.im, axis=0)
+            return _grad_contract(virt, a)
 
         grad = jt_apply(residual)
         illum = illumination_map(virt)
@@ -515,30 +528,30 @@ def run_gauss_newton_3d(vel_init, data, grid, fwi: FWIConfig = FWIConfig(),
         max_bt = 4
 
         def bt_cond(st):
-            k, _, l_new, _ = st
+            k, _, cand = st
+            l_new = cand[3]
             return jnp.logical_and(jnp.logical_or(~jnp.isfinite(l_new),
                                                   l_new >= loss), k < max_bt)
 
         def bt_body(st):
-            k, t, _, _ = st
+            k, t, _ = st
             t2 = 0.5 * t
-            slow_c = project(slow + t2 * dm)
-            return (k + 1, t2, forward(slow_c)[2], slow_c)
+            return (k + 1, t2, forward_state(project(slow + t2 * dm)))
 
-        slow_0 = project(slow + step * dm)
-        k_bt, t_eff, l_new, slow_acc = jax.lax.while_loop(
+        k_bt, t_eff, cand = jax.lax.while_loop(
             bt_cond, bt_body,
-            (jnp.int32(0), step, forward(slow_0)[2], slow_0))
-        ok = jnp.logical_and(jnp.isfinite(l_new), l_new < loss)
-        slow_new = jnp.where(ok, slow_acc, slow)
+            (jnp.int32(0), step, forward_state(project(slow + step * dm))))
+        ok = jnp.logical_and(jnp.isfinite(cand[3]), cand[3] < loss)
+        new_carry = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                 cand, carry)
         t_eff = jnp.where(ok, t_eff, 0.0)
 
         m = GNMetrics(loss=loss * loss_unscale,
                       grad_norm=jnp.linalg.norm(grad) * loss_unscale,
                       step_size=t_eff, cg_relres=cg_relres,
                       backtracks=k_bt)
-        return slow_new, m
+        return new_carry, m
 
-    slow, metrics = jax.lax.scan(outer, 1.0 / vel0, None,
-                                 length=num_iterations)
-    return 1.0 / slow, metrics
+    carry, metrics = jax.lax.scan(outer, forward_state(1.0 / vel0), None,
+                                  length=num_iterations)
+    return 1.0 / carry[0], metrics

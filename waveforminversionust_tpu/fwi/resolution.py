@@ -45,11 +45,9 @@ def _prepare(data: FWIData, grid: Grid2D, solver: SolverConfig, vel,
     run_gauss_newton (unit-amplitude ring data underflows the
     normal-equation products otherwise; PSFs are invariant to it, the raw
     diag(J^H J) scales by s_d^2)."""
-    if isinstance(data.rec_obs, Cpx):
-        d2 = jnp.mean(cpx.abs2(data.rec_obs))
-    else:
-        d2 = jnp.mean(jnp.abs(data.rec_obs) ** 2)
-    s_d = 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-38))
+    from .newton import _data_normalization
+
+    s_d = _data_normalization(data.rec_obs)
 
     def _sc(x):
         return cpx.scale(x, s_d) if isinstance(x, Cpx) else x * s_d
@@ -57,7 +55,8 @@ def _prepare(data: FWIData, grid: Grid2D, solver: SolverConfig, vel,
     data = data._replace(src=_sc(data.src), rec_obs=_sc(data.rec_obs))
     vel = jnp.asarray(vel, jnp.float32)
     slow = 1.0 / vel
-    op = make_helmholtz_operator(vel, data.f, grid, solver)
+    op = make_helmholtz_operator(vel, data.f, grid, solver,
+                                 attenuation=data.attenuation)
     wv = helmholtz_operator_solve(op, data.src, grid, solver)
     if estimate_sources:
         rec = sample_receivers(wv, data.rx_y, data.rx_x, data.rx_w)
@@ -91,6 +90,10 @@ def psf_probe(vel, data: FWIData, grid: Grid2D,
         acquisition null-space components vanish; the smearing pattern is
         the local resolution kernel.
     """
+    if probes is None:
+        raise ValueError("psf_probe needs explicit model-space probes "
+                         "(np, ny, nx) — e.g. one-hot pixels or Gaussian "
+                         "bumps at the locations to appraise")
     j_apply, jt_apply, virt, _ = _prepare(data, grid, solver, vel,
                                           estimate_sources)
     # pseudo-Hessian shape, Hutchinson-calibrated magnitude (see
