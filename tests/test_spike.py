@@ -203,3 +203,48 @@ def test_spike_large_grid_runs_sharded():
     r = cpx.to_numpy(h_apply_cpx(coeffs, x) - src)
     res = np.linalg.norm(r) / np.linalg.norm(cpx.to_numpy(src))
     assert res < 1e-4, res
+
+
+def test_spike_gauss_newton_matches_single_device():
+    """The Gauss-Newton inversion runs grid-sharded end to end
+    (run_gauss_newton(mesh=...) with factorization='spike'): every
+    factorization/solve of the Newton-CG — forward, adjoint, inner Hvps,
+    backtracking trials — is the distributed SPIKE elimination, and the
+    trajectory matches single-device execution."""
+    import dataclasses
+
+    from waveforminversionust_tpu import AcquisitionConfig, FWIConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.newton import run_gauss_newton
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.models.acquisition import \
+        build_ring_acquisition
+    from waveforminversionust_tpu.parallel.sharding import shard_fwi_data_grid
+
+    grid = Grid2D.centered(12e-3, 0.8e-3, ymax=25.2e-3)  # ny=64, nx=31
+    acq_cfg = AcquisitionConfig(num_elements=8, radius=9e-3,
+                                num_excluded_each_side=1)
+    cfg = SolverConfig(split_complex=True, pml=PMLConfig(l_pml=2.4e-3))
+    vel_true = smooth_blob_phantom(grid, radius=5e-3, dc=30)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=F, solver=cfg,
+                                 seed=3)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, F, split=True)
+    fwi = FWIConfig()
+    vel0 = jnp.full(grid.shape, 1500.0, jnp.float32)
+
+    ref = run_gauss_newton(vel0, data, grid, cfg, fwi=fwi,
+                           num_iterations=2, cg_iters=4)
+
+    mesh = _grid_mesh()
+    cfg_sp = dataclasses.replace(cfg, factorization="spike")
+    sp = run_gauss_newton(vel0, shard_fwi_data_grid(data, mesh), grid,
+                          cfg_sp, fwi=fwi, num_iterations=2, cg_iters=4,
+                          mesh=mesh)
+
+    v_ref = np.asarray(ref.velocity)
+    v_sp = np.asarray(sp.velocity)
+    assert np.linalg.norm(v_sp - v_ref) / np.linalg.norm(v_ref) < 1e-4
+    np.testing.assert_allclose(np.asarray(sp.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=1e-3)

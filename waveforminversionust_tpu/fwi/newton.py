@@ -155,7 +155,8 @@ def _grad_contract(virt, adj_wv):
 
 def make_frechet_operators(op, data: FWIData, grid: Grid2D,
                            solver: SolverConfig, slow, wv,
-                           exact: bool = True):
+                           exact: bool = True, mesh=None,
+                           grid_axis: str = "grid"):
     """The Frechet derivative of the receiver data and its adjoint, each as
     ONE Helmholtz sweep against a prepared (factored) operator:
 
@@ -181,7 +182,8 @@ def make_frechet_operators(op, data: FWIData, grid: Grid2D,
         alpha_signed = (jnp.sign(jnp.float32(solver.pml.sign_convention))
                         * data.attenuation)
     virt = virtual_source(slow, wv, data.f, alpha_signed)
-    solve = _partial(helmholtz_operator_solve, grid=grid, cfg=solver)
+    solve = _partial(helmholtz_operator_solve, grid=grid, cfg=solver,
+                     mesh=mesh, grid_axis=grid_axis)
 
     if exact:
         from ..ops.stencil import boundary_mask, stencil_params
@@ -231,7 +233,8 @@ def make_frechet_operators(op, data: FWIData, grid: Grid2D,
 
 
 @partial(jax.jit, static_argnames=("grid", "solver", "fwi", "num_iterations",
-                                   "cg_iters", "exact_frechet"))
+                                   "cg_iters", "exact_frechet", "mesh",
+                                   "grid_axis"))
 def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
                      solver: SolverConfig = SolverConfig(),
                      fwi: FWIConfig = FWIConfig(),
@@ -239,7 +242,8 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
                      lm_damping: float = 0.1,
                      reg_smooth: float = 1.0,
                      cg_tol: float = 1e-3,
-                     exact_frechet: bool = True) -> GNResult:
+                     exact_frechet: bool = True,
+                     mesh=None, grid_axis: str = "grid") -> GNResult:
     """Truncated Gauss-Newton inversion as one compiled scan.
 
     Args:
@@ -258,6 +262,13 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
     and ``fwi.clip_velocity``; non-finite or non-decreasing steps are
     always rejected by the backtracking globalization (monotone by
     construction — see the in-body comment).
+
+    ``mesh``/``grid_axis``: with ``solver.factorization == "spike"``, run
+    every factorization/solve — forward, adjoint, all inner Hvps,
+    backtracking trials — grid-sharded over the mesh axis (one y-slab per
+    device; parallel.spike), exactly as in optimizers.nonlinear_cg. The
+    shot axis needs no flag: shard the data (parallel.sharding.
+    shard_fwi_data) and GSPMD distributes the whole Newton-CG.
     """
     vel0 = jnp.asarray(vel_init, jnp.float32)
     slow0 = 1.0 / vel0
@@ -298,8 +309,10 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
         backtracking trials."""
         op_x = make_helmholtz_operator(1.0 / slow_x, data.f, grid, solver,
                                        attenuation=data.attenuation,
-                                       pml_fields=pml_fields)
-        wv_x = helmholtz_operator_solve(op_x, data.src, grid, solver)
+                                       pml_fields=pml_fields, mesh=mesh,
+                                       grid_axis=grid_axis)
+        wv_x = helmholtz_operator_solve(op_x, data.src, grid, solver,
+                                        mesh=mesh, grid_axis=grid_axis)
         rec_x = sample_receivers(wv_x, data.rx_y, data.rx_x, data.rx_w)
         if fwi.estimate_source_strength:
             s_est = estimate_source_strengths(rec_x, data.rec_obs)
@@ -324,7 +337,8 @@ def run_gauss_newton(vel_init, data: FWIData, grid: Grid2D,
         residual = rec_sim - data.rec_obs
 
         j_apply, jt_apply, virt = make_frechet_operators(
-            op, data, grid, solver, slow, wv, exact=exact_frechet)
+            op, data, grid, solver, slow, wv, exact=exact_frechet,
+            mesh=mesh, grid_axis=grid_axis)
         grad = jt_apply(residual)
 
         # Diagonal surrogate of J^H J: the Shin pseudo-Hessian
