@@ -89,8 +89,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             iteration with the saved CG carry) and reproduces the
             uninterrupted trajectory. Returned metrics include the restored
             history of the interrupted stage onward.
-        mesh / grid_axis: with ``solver.factorization == "spike"`` (CG
-            method), the whole inversion runs grid-sharded over the mesh's
+        mesh / grid_axis: with ``solver.factorization == "spike"`` (CG and
+            GN methods), the whole inversion runs grid-sharded over the mesh's
             ``grid_axis`` — one y-slab of the reconstruction grid per device
             (distributed SPIKE direct solves; see parallel.spike) — lifting
             the single-chip grid-size limit. ``grid.ny`` must divide by the
@@ -107,9 +107,9 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
     # reference schema is single-frequency; the mapping form feeds
     # multi-frequency continuation with true per-frequency recordings.
     per_freq = isinstance(dataset, dict)
-    if mesh is not None and method != "cg":
+    if mesh is not None and method not in ("cg", "gn"):
         raise ValueError("grid-sharded (mesh=) inversion is implemented for "
-                         "the CG method")
+                         "the CG and GN methods")
     if attenuation is not None and np.ndim(attenuation) == 0:
         attenuation = (None if float(attenuation) == 0.0 else
                        np.full((grid or default_inversion_grid()).shape,
@@ -248,7 +248,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         elif method == "gn":
             from .newton import run_gauss_newton
             res = run_gauss_newton(vel, data, grid, solver, fwi=fwi,
-                                   num_iterations=n_iter)
+                                   num_iterations=n_iter, mesh=mesh,
+                                   grid_axis=grid_axis)
             vel = res.velocity
             losses_lbfgs.append(np.asarray(res.metrics.loss))
             stage_metrics = res.metrics
