@@ -149,3 +149,18 @@ def test_cli_broadband(tmp_path):
           "--iterations", "1", "--c-init", "1500",
           "--plot", str(tmp_path / "bb.png")])
     assert os.path.exists(tmp_path / "bb.png")
+
+
+def test_cli_gauss_newton_method(tmp_path):
+    """`run --method gn` drives the Gauss-Newton optimizer from the CLI."""
+    from waveforminversionust_tpu.cli import main
+    data_path = str(tmp_path / "tiny.mat")
+    main(["simulate", data_path, "--xmax", "12e-3", "--dx", "0.4e-3",
+          "--elements", "16", "--radius", "9e-3", "--frequency", "200e3"])
+    main(["run", data_path, "--method", "gn", "--iterations", "2",
+          "--grid-xmax", "12e-3", "--grid-dx", "0.8e-3",
+          "--elements", "16", "--radius", "9e-3", "--exclude", "2",
+          "--out", str(tmp_path / "vel_gn.npy")])
+    import numpy as np
+    v = np.load(tmp_path / "vel_gn.npy")
+    assert v.shape == (31, 31) and np.all(np.isfinite(v))

@@ -190,3 +190,40 @@ class TestTimeDomainAcquisition:
         err0 = np.abs(1500.0 - truth_c).mean()
         err1 = np.abs(res.velocity - truth_c).mean()
         assert err1 < err0
+
+    def test_direct_arrival_gate(self):
+        """The gate passes energy around each pair's straight-ray arrival
+        and suppresses late energy; gated extraction still inverts through
+        the source estimate (the scale/convolution it introduces is
+        per-shot-absorbable)."""
+        from waveforminversionust_tpu.data.timedomain import (
+            TimeDomainDataset, direct_arrival_gate)
+
+        # synthetic traces: a direct-arrival Gaussian pulse + a late echo
+        ne, nt = 6, 200
+        rng = np.random.default_rng(2)
+        theta = 2 * np.pi * np.arange(ne) / ne
+        xc, yc = 9e-3 * np.cos(theta), 9e-3 * np.sin(theta)
+        times = np.linspace(0, 40e-6, nt)
+        pos = np.stack([xc, yc], 1)
+        dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        t_arr = dist / 1500.0
+        direct = np.exp(-((times[None, None] - t_arr[..., None]) / 1e-6) ** 2)
+        echo = np.exp(-((times[None, None]
+                         - (t_arr[..., None] + 20e-6)) / 1e-6) ** 2)
+        traces = (direct + 0.7 * echo).astype(np.complex64)
+        td = TimeDomainDataset(
+            x=np.zeros(2), y=np.zeros(2), c=np.zeros((2, 2)),
+            x_circ=xc, y_circ=yc, freqs=np.array([2e5]), df=5e4,
+            spectrum=np.ones(1), times=times, traces=traces)
+
+        gated = direct_arrival_gate(td, c_ref=1500.0, pre=3e-6, post=5e-6,
+                                    taper=2e-6)
+        # off-diagonal pairs (nonzero arrival separation from the echo):
+        # direct energy preserved, echo suppressed
+        m = ~np.eye(ne, dtype=bool)
+        keep = np.abs(gated.traces[m] * np.conj(direct[m])).sum()
+        ref = np.abs(direct[m] * np.conj(direct[m])).sum()
+        assert keep > 0.9 * ref
+        late = np.abs(times[None, None] - (t_arr[..., None] + 20e-6)) < 3e-6
+        assert np.abs(gated.traces[m][late[m]]).max() < 1e-3

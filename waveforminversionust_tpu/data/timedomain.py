@@ -292,6 +292,38 @@ def extract_frequency_data(traces, times, freqs, df,
     return rec.astype(np.complex64)
 
 
+def direct_arrival_gate(td: TimeDomainDataset, c_ref: float = 1500.0,
+                        pre: float = 3e-6, post: float = 8e-6,
+                        taper: float = 2e-6) -> TimeDomainDataset:
+    """Cosine-tapered time gate around the direct transmission arrival —
+    the standard UST preprocessing that isolates the through-transmission
+    energy from late reverberation/multiples before frequency extraction.
+
+    For each (tx, rx) pair the arrival time is the straight-ray estimate
+    ``|x_tx - x_rx| / c_ref``; the gate passes
+    ``[t_arr - pre, t_arr + post]`` with half-cosine roll-offs of width
+    ``taper`` on both sides. Gating multiplies the traces in time (a mild
+    spectral convolution), so the extracted per-frequency data is no
+    longer the exact ungated comb line — the per-shot source estimate in
+    the FWI objective absorbs the resulting complex scale, same as the
+    un-deconvolved spectrum.
+
+    Host-side preprocessing of host-resident traces (numpy), like
+    :func:`extract_frequency_data`. Returns a new dataset with gated
+    traces; all metadata unchanged.
+    """
+    pos = np.stack([td.x_circ, td.y_circ], axis=1)           # (ne, 2)
+    dist = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    t_arr = dist / c_ref                                     # (ntx, nrx)
+    t = td.times[None, None, :]
+    t0 = (t_arr - pre)[..., None]
+    t1 = (t_arr + post)[..., None]
+    up = np.clip((t - (t0 - taper)) / taper, 0.0, 1.0)
+    dn = np.clip(((t1 + taper) - t) / taper, 0.0, 1.0)
+    w = (0.5 * (1 - np.cos(np.pi * up))) * (0.5 * (1 - np.cos(np.pi * dn)))
+    return td._replace(traces=(td.traces * w).astype(td.traces.dtype))
+
+
 def timedomain_to_ring_datasets(td: TimeDomainDataset, freqs,
                                 deconvolve: bool = True) -> dict:
     """Bridge to the inversion drivers: extract ``freqs`` from the traces and
