@@ -204,7 +204,9 @@ class TestTimeDomainAcquisition:
         rng = np.random.default_rng(2)
         theta = 2 * np.pi * np.arange(ne) / ne
         xc, yc = 9e-3 * np.cos(theta), 9e-3 * np.sin(theta)
-        times = np.linspace(0, 40e-6, nt)
+        # times span exactly one comb period 1/df (the dataclass invariant)
+        df = 2.5e4
+        times = np.arange(nt) / (nt * df)                     # [0, 40 us)
         pos = np.stack([xc, yc], 1)
         dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
         t_arr = dist / 1500.0
@@ -214,7 +216,7 @@ class TestTimeDomainAcquisition:
         traces = (direct + 0.7 * echo).astype(np.complex64)
         td = TimeDomainDataset(
             x=np.zeros(2), y=np.zeros(2), c=np.zeros((2, 2)),
-            x_circ=xc, y_circ=yc, freqs=np.array([2e5]), df=5e4,
+            x_circ=xc, y_circ=yc, freqs=np.array([2e5]), df=df,
             spectrum=np.ones(1), times=times, traces=traces)
 
         gated = direct_arrival_gate(td, c_ref=1500.0, pre=3e-6, post=5e-6,
@@ -227,3 +229,50 @@ class TestTimeDomainAcquisition:
         assert keep > 0.9 * ref
         late = np.abs(times[None, None] - (t_arr[..., None] + 20e-6)) < 3e-6
         assert np.abs(gated.traces[m][late[m]]).max() < 1e-3
+
+    def test_direct_arrival_gate_wraps_period(self):
+        """Arrivals beyond one comb period must gate at t_arr mod (1/df):
+        the periodic IDTFT synthesis places them there. A 110 mm ring
+        (the reference geometry) reaches ~147 us separations on a 40 us
+        record — an unwrapped gate would zero those traces entirely."""
+        from waveforminversionust_tpu.data.timedomain import (
+            TimeDomainDataset, direct_arrival_gate)
+
+        ne, nt, df = 8, 400, 2.5e4
+        period = 1.0 / df                                     # 40 us
+        theta = 2 * np.pi * np.arange(ne) / ne
+        xc, yc = 110e-3 * np.cos(theta), 110e-3 * np.sin(theta)
+        times = np.arange(nt) / (nt * df)
+        pos = np.stack([xc, yc], 1)
+        dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        t_wrap = np.mod(dist / 1500.0, period)                # where the
+        # periodic synthesis actually places the arrival
+        direct = np.exp(
+            -((times[None, None] - t_wrap[..., None]) / 1e-6) ** 2)
+        td = TimeDomainDataset(
+            x=np.zeros(2), y=np.zeros(2), c=np.zeros((2, 2)),
+            x_circ=xc, y_circ=yc, freqs=np.array([2e5]), df=df,
+            spectrum=np.ones(1), times=times,
+            traces=direct.astype(np.complex64))
+
+        gated = direct_arrival_gate(td, c_ref=1500.0, pre=3e-6, post=5e-6,
+                                    taper=2e-6)
+        m = ~np.eye(ne, dtype=bool)
+        # the majority of ring pairs exceed one period — the gate must
+        # still pass their (wrapped) direct energy
+        assert (dist[m] / 1500.0 > period).mean() > 0.5
+        keep = np.abs(gated.traces[m] * np.conj(direct[m])).sum()
+        ref = np.abs(direct[m] * np.conj(direct[m])).sum()
+        assert keep > 0.9 * ref
+
+        # hard gate (taper=0) is a finite 0/1 window, not NaN
+        hard = direct_arrival_gate(td, c_ref=1500.0, pre=3e-6, post=5e-6,
+                                   taper=0.0)
+        assert np.all(np.isfinite(hard.traces))
+        keep_h = np.abs(hard.traces[m] * np.conj(direct[m])).sum()
+        assert keep_h > 0.9 * ref
+
+        # window wider than the period self-overlaps: rejected
+        import pytest
+        with pytest.raises(ValueError):
+            direct_arrival_gate(td, pre=30e-6, post=30e-6, taper=2e-6)

@@ -302,25 +302,52 @@ def direct_arrival_gate(td: TimeDomainDataset, c_ref: float = 1500.0,
     For each (tx, rx) pair the arrival time is the straight-ray estimate
     ``|x_tx - x_rx| / c_ref``; the gate passes
     ``[t_arr - pre, t_arr + post]`` with half-cosine roll-offs of width
-    ``taper`` on both sides. Gating multiplies the traces in time (a mild
+    ``taper`` on both sides. The comb-synthesized traces are periodic
+    with period ``T = 1/df`` (the times axis spans exactly one period,
+    ``TimeDomainDataset.times``), so the synthesis places an arrival at
+    ``t_arr mod T`` — the gate is therefore built on the *circular* time
+    offset ``((t - t_arr + T/2) mod T) - T/2``, which both wraps distant
+    pairs (a 220 mm ring diameter at 1500 m/s is ~147 us, far past a
+    40 us record) and wraps the window edges around t=0/T correctly.
+    For measured (non-wrapped) traces with ``t_arr < T`` this reduces to
+    the plain window. Gating multiplies the traces in time (a mild
     spectral convolution), so the extracted per-frequency data is no
     longer the exact ungated comb line — the per-shot source estimate in
     the FWI objective absorbs the resulting complex scale, same as the
     un-deconvolved spectrum.
 
+    ``taper=0`` gives a hard rectangular gate. The full window
+    (``pre + post + 2*taper``) must fit inside one period, else the
+    circular gate would overlap itself — rejected with ``ValueError``.
+
     Host-side preprocessing of host-resident traces (numpy), like
     :func:`extract_frequency_data`. Returns a new dataset with gated
     traces; all metadata unchanged.
     """
+    if taper < 0 or pre < 0 or post < 0:
+        raise ValueError("pre/post/taper must be non-negative")
+    period = 1.0 / float(td.df)
+    if pre + post + 2 * taper >= period:
+        raise ValueError(
+            f"gate window pre+post+2*taper = {pre + post + 2 * taper:.3g} s "
+            f"does not fit in one comb period 1/df = {period:.3g} s")
     pos = np.stack([td.x_circ, td.y_circ], axis=1)           # (ne, 2)
     dist = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
-    t_arr = dist / c_ref                                     # (ntx, nrx)
+    t_arr = (dist / c_ref)[..., None]                        # (ntx, nrx, 1)
     t = td.times[None, None, :]
-    t0 = (t_arr - pre)[..., None]
-    t1 = (t_arr + post)[..., None]
-    up = np.clip((t - (t0 - taper)) / taper, 0.0, 1.0)
-    dn = np.clip(((t1 + taper) - t) / taper, 0.0, 1.0)
-    w = (0.5 * (1 - np.cos(np.pi * up))) * (0.5 * (1 - np.cos(np.pi * dn)))
+    # signed circular offset from the (wrapped) arrival, in [-T/2, T/2)
+    d = np.mod(t - t_arr + 0.5 * period, period) - 0.5 * period
+    d = d.astype(np.float32)
+    if taper == 0.0:
+        w = ((d >= np.float32(-pre)) & (d <= np.float32(post)))
+        w = w.astype(np.float32)
+    else:
+        up = np.clip((d + np.float32(pre + taper)) / np.float32(taper),
+                     np.float32(0), np.float32(1))
+        dn = np.clip((np.float32(post + taper) - d) / np.float32(taper),
+                     np.float32(0), np.float32(1))
+        w = ((0.5 * (1 - np.cos(np.pi * up)))
+             * (0.5 * (1 - np.cos(np.pi * dn)))).astype(np.float32)
     return td._replace(traces=(td.traces * w).astype(td.traces.dtype))
 
 
