@@ -25,6 +25,8 @@ from .fwi.lbfgs import run_lbfgs
 from .fwi.newton import (GNResult, make_frechet_operators, run_gauss_newton,
                          run_gauss_newton_3d)
 from .fwi.runner import invert_dataset, reconstruction_rmse
+from .fwi.traveltime import (invert_travel_times, pick_arrival_times,
+                             straight_ray_times, traveltime_init)
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,
                                    cylinder_positions, hemisphere_positions)
 from .parallel.spike import (SpikeFactor, spike_factor, spike_helmholtz_factor,

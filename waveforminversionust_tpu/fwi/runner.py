@@ -37,6 +37,19 @@ def default_inversion_grid() -> Grid2D:
     return Grid2D.centered(120e-3, 0.8e-3)
 
 
+def _initial_velocity(c_init, fwi: FWIConfig, grid: Grid2D):
+    """Starting model: None -> homogeneous fwi.c_init; scalar -> homogeneous;
+    (ny, nx) map (e.g. fwi.traveltime.traveltime_init) -> as given."""
+    if c_init is None:
+        return jnp.full(grid.shape, fwi.c_init, jnp.float32)
+    c = jnp.asarray(c_init, jnp.float32)
+    if c.ndim == 0:
+        return jnp.full(grid.shape, c, jnp.float32)
+    if c.shape != grid.shape:
+        raise ValueError(f"c_init shape {c.shape} != grid shape {grid.shape}")
+    return c
+
+
 def invert_dataset(dataset, grid: Grid2D | None = None,
                    acquisition: AcquisitionConfig = AcquisitionConfig(),
                    solver: SolverConfig = SolverConfig(),
@@ -50,6 +63,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                    resume_from: str | None = None,
                    live_every: int | None = None,
                    live_callback: Callable | None = None,
+                   c_init=None,
                    mesh=None, grid_axis: str = "grid") -> InversionResult:
     """Invert a RingDataset (loaded or synthesized).
 
@@ -89,6 +103,12 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             iteration with the saved CG carry) and reproduces the
             uninterrupted trajectory. Returned metrics include the restored
             history of the interrupted stage onward.
+        c_init: initial velocity model — None (homogeneous at
+            ``fwi.c_init``, the reference's start: fwi_script.py:90), a
+            scalar [m/s], or an (ny, nx) map on the reconstruction grid,
+            e.g. a travel-time tomogram from
+            fwi.traveltime.traveltime_init (the production defense
+            against cycle skipping at strong contrasts).
         mesh / grid_axis: with ``solver.factorization == "spike"`` (CG and
             GN methods), the whole inversion runs grid-sharded over the mesh's
             ``grid_axis`` — one y-slab of the reconstruction grid per device
@@ -135,7 +155,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                                 attenuation=attenuation)
                  for f in sorted(dataset)]
         mf = stack_frequencies(datas)
-        vel0 = jnp.full(grid.shape, fwi.c_init, jnp.float32)
+        vel0 = _initial_velocity(c_init, fwi, grid)
         vel, m = nonlinear_cg_multifreq(vel0, mf, grid, solver, fwi)
         metrics = {f: np.asarray(getattr(m, f)) for f in CGMetrics._fields}
         if callback is not None:
@@ -150,7 +170,7 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         stages = [(float(f), int(continuation.iterations_per_frequency))
                   for f in continuation.frequencies]
 
-    vel = jnp.full(grid.shape, fwi.c_init, jnp.float32)
+    vel = _initial_velocity(c_init, fwi, grid)
     histories: list[CGMetrics] = []
     losses_lbfgs: list[np.ndarray] = []
 
