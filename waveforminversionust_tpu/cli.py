@@ -246,12 +246,25 @@ def _cmd_broadband(args):
     freqs = tuple(float(f) for f in (args.freqs or
                                      (args.f_low, (args.f_low + args.f_high) / 2,
                                       args.f_high)))
+    c_init_map = None
+    if args.traveltime_init:
+        from .data.timedomain import direct_arrival_gate
+        from .fwi.traveltime import traveltime_init
+        pre, post, taper = args.gate
+        gated = direct_arrival_gate(td, c_ref=args.c_init, pre=pre,
+                                    post=post, taper=taper)
+        c_init_map = traveltime_init(gated, coarse,
+                                     num_excluded_each_side=args.exclude,
+                                     c_ref=args.c_init)
+        rmse0 = reconstruction_rmse(c_init_map, coarse, np.asarray(vel), fine)
+        print(f"travel-time starting model RMSE {rmse0:.2f} m/s")
+
     # deconvolve=False: the per-shot source estimate absorbs the transmit
     # spectrum (the measured-data regime)
     datasets = timedomain_to_ring_datasets(td, freqs, deconvolve=False)
     res = invert_dataset(
         datasets, grid=coarse, acquisition=acq, solver=solver,
-        fwi=FWIConfig(c_init=args.c_init),
+        fwi=FWIConfig(c_init=args.c_init), c_init=c_init_map,
         continuation=ContinuationConfig(frequencies=freqs,
                                         iterations_per_frequency=args.iterations))
     print("loss history:", np.array2string(res.metrics["loss"], precision=3))
@@ -386,6 +399,17 @@ def main(argv=None):
     pbb.add_argument("--iterations", type=int, default=5,
                      help="CG iterations per continuation stage")
     pbb.add_argument("--c-init", type=float, default=1480.0)
+    pbb.add_argument("--traveltime-init", action="store_true",
+                     help="start the inversion from a straight-ray "
+                          "travel-time tomogram picked off the gated "
+                          "broadband traces (fwi.traveltime) instead of "
+                          "the homogeneous --c-init — the cycle-skipping "
+                          "defense at strong contrasts")
+    pbb.add_argument("--gate", nargs=3, type=float, default=(3e-6, 8e-6, 2e-6),
+                     metavar=("PRE", "POST", "TAPER"),
+                     help="direct-arrival gate window [s] around the "
+                          "straight-ray arrival used for picking "
+                          "(data.timedomain.direct_arrival_gate)")
     pbb.add_argument("--seed", type=int, default=0)
     pbb.add_argument("--plot", default=None)
     pbb.set_defaults(fn=_cmd_broadband)
