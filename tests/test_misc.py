@@ -152,15 +152,17 @@ def test_cli_broadband(tmp_path):
 
 
 def test_cli_broadband_traveltime_init(capsys):
-    """`broadband --traveltime-init` picks arrivals off the gated traces and
-    starts the continuation from the straight-ray tomogram."""
+    """`broadband --traveltime-init --traveltime-method bent` picks arrivals
+    off the gated traces and starts the continuation from the bent-ray
+    (eikonal) tomogram."""
     from waveforminversionust_tpu.cli import main
     main(["broadband", "--xmax", "12e-3", "--fine-dx", "0.4e-3",
           "--inv-dx", "0.8e-3", "--elements", "12", "--radius", "9e-3",
           "--exclude", "2", "--f-low", "0.15e6", "--f-high", "0.25e6",
           "--df", "0.05e6", "--freqs", "0.25e6",
           "--iterations", "1", "--c-init", "1500",
-          "--traveltime-init", "--gate", "2e-6", "5e-6", "2e-6"])
+          "--traveltime-init", "--traveltime-method", "bent",
+          "--gate", "2e-6", "5e-6", "2e-6"])
     out = capsys.readouterr().out
     assert "travel-time starting model RMSE" in out
 

@@ -255,7 +255,8 @@ def _cmd_broadband(args):
                                     post=post, taper=taper)
         c_init_map = traveltime_init(gated, coarse,
                                      num_excluded_each_side=args.exclude,
-                                     c_ref=args.c_init)
+                                     c_ref=args.c_init,
+                                     method=args.traveltime_method)
         rmse0 = reconstruction_rmse(c_init_map, coarse, np.asarray(vel), fine)
         print(f"travel-time starting model RMSE {rmse0:.2f} m/s")
 
@@ -405,6 +406,11 @@ def main(argv=None):
                           "broadband traces (fwi.traveltime) instead of "
                           "the homogeneous --c-init — the cycle-skipping "
                           "defense at strong contrasts")
+    pbb.add_argument("--traveltime-method", choices=("straight", "bent"),
+                     default="straight",
+                     help="tomography ray model for --traveltime-init: "
+                          "linear straight rays, or eikonal bent (Fermat) "
+                          "rays for contrasts above ~10%%")
     pbb.add_argument("--gate", nargs=3, type=float, default=(3e-6, 8e-6, 2e-6),
                      metavar=("PRE", "POST", "TAPER"),
                      help="direct-arrival gate window [s] around the "

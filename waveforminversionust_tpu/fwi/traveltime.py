@@ -24,10 +24,15 @@ top of the broadband acquisition pipeline (data/timedomain.py):
   4. :func:`traveltime_init` — the turnkey composition
      TimeDomainDataset -> c_init for fwi.runner.invert_dataset.
 
-Straight rays (not bent/eikonal) are the right fidelity for an INITIAL
-model at soft-tissue contrasts (<10 %): ray bending perturbs path length
-at second order in the contrast, while the travel-time perturbation being
-inverted is first order.
+Straight rays are the right fidelity for an INITIAL model at soft-tissue
+contrasts (<10 %): ray bending perturbs path length at second order in the
+contrast, while the travel-time perturbation being inverted is first
+order. For stronger contrasts :func:`invert_travel_times_bent` upgrades
+the same linear machinery to BENT-ray tomography: each outer pass solves
+the eikonal equation per source (fwi/eikonal.py), traces Fermat rays by
+steepest descent on the travel-time fields, and re-solves the linear
+problem along the new (fixed) paths — the standard production UST
+tomography loop.
 """
 
 from __future__ import annotations
@@ -123,6 +128,25 @@ def pick_arrival_times(traces, times, df, t_ref,
     return t_peak + wraps * period
 
 
+def _mean_slowness(slowness, pts, grid: Grid2D):
+    """Mean of bilinearly-sampled ``slowness`` along each point path.
+
+    ``pts`` is (npair, n_samples, 2) physical sample points; returns
+    (npair,). LINEAR in ``slowness``.
+    """
+    fx = jnp.clip((pts[..., 0] - grid.x0) / grid.dx, 0.0, grid.nx - 1 - 1e-6)
+    fy = jnp.clip((pts[..., 1] - grid.y0) / grid.dy, 0.0, grid.ny - 1 - 1e-6)
+    ix = jnp.clip(fx.astype(jnp.int32), 0, grid.nx - 2)
+    iy = jnp.clip(fy.astype(jnp.int32), 0, grid.ny - 2)
+    wx = fx - ix
+    wy = fy - iy
+    s = ((1 - wx) * (1 - wy) * slowness[iy, ix]
+         + wx * (1 - wy) * slowness[iy, ix + 1]
+         + (1 - wx) * wy * slowness[iy + 1, ix]
+         + wx * wy * slowness[iy + 1, ix + 1])
+    return jnp.mean(s, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("grid", "n_samples"))
 def straight_ray_times(slowness, tx_pos, rx_pos, grid: Grid2D,
                        n_samples: int = 512):
@@ -150,41 +174,20 @@ def straight_ray_times(slowness, tx_pos, rx_pos, grid: Grid2D,
     alpha = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
     # (npair, n_samples, 2) sample points; fused into the gathers below
     p = tx[:, None, :] + alpha[None, :, None] * (rx - tx)[:, None, :]
-    fx = jnp.clip((p[..., 0] - grid.x0) / grid.dx, 0.0, grid.nx - 1 - 1e-6)
-    fy = jnp.clip((p[..., 1] - grid.y0) / grid.dy, 0.0, grid.ny - 1 - 1e-6)
-    ix = jnp.clip(fx.astype(jnp.int32), 0, grid.nx - 2)
-    iy = jnp.clip(fy.astype(jnp.int32), 0, grid.ny - 2)
-    wx = fx - ix
-    wy = fy - iy
-    s = ((1 - wx) * (1 - wy) * slowness[iy, ix]
-         + wx * (1 - wy) * slowness[iy, ix + 1]
-         + (1 - wx) * wy * slowness[iy + 1, ix]
-         + wx * wy * slowness[iy + 1, ix + 1])
     dist = jnp.linalg.norm(rx - tx, axis=-1)
-    return dist * jnp.mean(s, axis=-1)
+    return dist * _mean_slowness(slowness, p, grid)
 
 
-@partial(jax.jit, static_argnames=("grid", "n_samples", "cg_iters"))
-def _invert_travel_times_jit(t_obs, tx_pos, rx_pos, grid: Grid2D,
-                             c_ref, lam_smooth, n_samples: int,
-                             cg_iters: int):
-    s0 = 1.0 / jnp.asarray(c_ref, jnp.float32)
-    dist = jnp.linalg.norm(jnp.asarray(rx_pos, jnp.float32)
-                           - jnp.asarray(tx_pos, jnp.float32), axis=-1)
-    dist = jnp.maximum(dist, 1e-12)
+def _normal_eq_solve(b_apply, r0, grid: Grid2D, lam_smooth, cg_iters: int):
+    """Smoothed normal equations (B^T B + reg L^T L) ds = B^T r0 by PCG.
 
-    # Normalized forward map B ds = (A ds) / dist: each row averages the
-    # slowness perturbation along its ray (entries sum to 1), so diag(B^T B)
-    # is O(coverage) and one smoothing knob serves every geometry.
-    def b_apply(ds):
-        return straight_ray_times(ds, tx_pos, rx_pos, grid,
-                                  n_samples=n_samples) / dist
-
+    ``b_apply`` must be a NORMALIZED linear ray map (each row a mean of the
+    slowness perturbation along its path — entries summing to 1), so
+    diag(B^T B) is O(coverage) and one smoothing knob serves every
+    geometry. Preconditioner: the ray-coverage map B^T 1. Traced inside
+    the callers' jit.
+    """
     bt_apply = jax.linear_transpose(b_apply, jnp.zeros(grid.shape, jnp.float32))
-
-    # mean-slowness residuals of the homogeneous background
-    r0 = jnp.asarray(t_obs, jnp.float32) / dist - s0
-
     rhs = bt_apply(r0)[0]
     density = bt_apply(jnp.ones_like(r0))[0]        # ray-coverage map
     diag = density + 1e-3 * jnp.max(density)
@@ -219,6 +222,25 @@ def _invert_travel_times_jit(t_obs, tx_pos, rx_pos, grid: Grid2D,
 
     (x, r, _, _), _ = jax.lax.scan(step, (x, r, p, rz), None, length=cg_iters)
     relres = jnp.sqrt(jnp.sum(r * r) / b2)
+    return x, relres
+
+
+@partial(jax.jit, static_argnames=("grid", "n_samples", "cg_iters"))
+def _invert_travel_times_jit(t_obs, tx_pos, rx_pos, grid: Grid2D,
+                             c_ref, lam_smooth, n_samples: int,
+                             cg_iters: int):
+    s0 = 1.0 / jnp.asarray(c_ref, jnp.float32)
+    dist = jnp.linalg.norm(jnp.asarray(rx_pos, jnp.float32)
+                           - jnp.asarray(tx_pos, jnp.float32), axis=-1)
+    dist = jnp.maximum(dist, 1e-12)
+
+    def b_apply(ds):
+        return straight_ray_times(ds, tx_pos, rx_pos, grid,
+                                  n_samples=n_samples) / dist
+
+    # mean-slowness residuals of the homogeneous background
+    r0 = jnp.asarray(t_obs, jnp.float32) / dist - s0
+    x, relres = _normal_eq_solve(b_apply, r0, grid, lam_smooth, cg_iters)
     return 1.0 / (s0 + x), relres
 
 
@@ -263,13 +285,99 @@ def invert_travel_times(t_obs, tx_pos, rx_pos, grid: Grid2D,
     return vel, relres
 
 
+@partial(jax.jit, static_argnames=("grid", "cg_iters"))
+def _invert_bent_step_jit(t_obs, pts, lengths, s_cur, grid: Grid2D,
+                          lam_smooth, cg_iters: int):
+    lengths = jnp.maximum(jnp.asarray(lengths, jnp.float32), 1e-12)
+    pts = jnp.asarray(pts, jnp.float32)
+
+    def b_apply(ds):
+        return _mean_slowness(ds, pts, grid)
+
+    # residual of the CURRENT model along the current (fixed) bent paths,
+    # in mean-slowness units
+    r0 = jnp.asarray(t_obs, jnp.float32) / lengths - b_apply(s_cur)
+    ds, relres = _normal_eq_solve(b_apply, r0, grid, lam_smooth, cg_iters)
+    return s_cur + ds, relres
+
+
+def invert_travel_times_bent(t_obs, tx_pos, rx_pos, grid: Grid2D,
+                             c_ref: float = 1500.0, lam_smooth: float = 1.0,
+                             n_outer: int = 3, cg_iters: int = 100,
+                             n_samples: int | None = None,
+                             step: float | None = None,
+                             clip_velocity: tuple[float, float] = (1300.0, 1800.0)):
+    """Bent-ray (eikonal) travel-time tomography — beyond the reference.
+
+    Outer fixed-point over the ray geometry: solve ``|grad T| = s`` per
+    unique source (fwi.eikonal.eikonal_solve, Jacobi upwind sweeps), trace
+    the Fermat paths by steepest descent on T (fwi.eikonal.trace_rays),
+    then re-solve the linearized problem with the paths FIXED — the same
+    smoothed, ray-density-preconditioned normal equations as
+    :func:`invert_travel_times`, with path-mean rows along the bent rays.
+    The first pass starts from the homogeneous ``c_ref`` (straight rays),
+    so ``n_outer=1`` reduces to straight-ray tomography up to quadrature.
+
+    Straight rays underestimate anomalies at second order in the contrast;
+    bent rays honor Fermat's principle at any contrast. Use this above
+    ~10 % contrast, or whenever the straight-ray tomogram shows smearing
+    through a strong inclusion.
+
+    Args:
+        t_obs: (npair,) picked absolute first-arrival times [s].
+        tx_pos, rx_pos: (npair, 2) physical endpoints [m]; rays are traced
+            from each receiver back to its transmitter (one eikonal field
+            per UNIQUE transmitter position).
+        n_outer: ray-geometry refinements (2-3 suffice; geometry converges
+            quadratically by Fermat stationarity).
+        step: ray-march step [m] (default ``min(dx, dy) / 2``).
+        clip_velocity: (lo, hi) bounds applied between passes — keeps the
+            eikonal slowness positive and the march stable.
+
+    Returns:
+        (velocity (ny, nx) float32 [m/s], final linear-CG relative residual).
+    """
+    from .eikonal import eikonal_solve_batch, trace_rays
+
+    if n_samples is None:
+        n_samples = 2 * max(grid.ny, grid.nx)
+    if step is None:
+        step = 0.5 * min(grid.dx, grid.dy)
+    tx = np.asarray(tx_pos, np.float32)
+    rx = np.asarray(rx_pos, np.float32)
+    t_obs = np.asarray(t_obs, np.float32)
+
+    # unique transmitter positions -> one eikonal field each
+    src_unique, src_idx = np.unique(tx, axis=0, return_inverse=True)
+    src_idx = src_idx.astype(np.int32)
+
+    # scan length: longest straight chord with a 1.6x bending margin
+    max_d = float(np.max(np.linalg.norm(rx - tx, axis=-1)))
+    n_steps = int(np.ceil(1.6 * max_d / step)) + 16
+
+    vel = jnp.full(grid.shape, jnp.float32(c_ref))
+    relres = jnp.float32(np.inf)
+    for _ in range(int(n_outer)):
+        slowness = 1.0 / vel
+        t_fields = eikonal_solve_batch(slowness, jnp.asarray(src_unique), grid)
+        pts, lengths = trace_rays(t_fields, src_idx, tx, rx, grid,
+                                  n_steps=n_steps, step=float(step),
+                                  n_samples=int(n_samples))
+        s_new, relres = _invert_bent_step_jit(
+            t_obs, pts, lengths, slowness, grid,
+            jnp.float32(lam_smooth), int(cg_iters))
+        vel = jnp.clip(1.0 / s_new, *clip_velocity)
+    return vel, relres
+
+
 def traveltime_init(td, grid: Grid2D, num_excluded_each_side: int = 31,
                     c_ref: float = 1500.0, lam_smooth: float = 10.0,
                     search_halfwidth: float | None = None,
                     cg_iters: int = 100,
                     clip_velocity: tuple[float, float] | None = None,
                     snap_to_dataset_grid: bool = True,
-                    return_times: bool = False):
+                    return_times: bool = False,
+                    method: str = "straight", n_outer: int = 3):
     """Turnkey travel-time starting model from broadband channel data.
 
     Composes the pipeline: straight-ray predictions over the ring ->
@@ -302,6 +410,10 @@ def traveltime_init(td, grid: Grid2D, num_excluded_each_side: int = 31,
             physical coordinates in td.x_circ/y_circ are the truth and
             td.x/td.y is just a reconstruction grid.
         return_times: also return (t_picked, tx_pos, rx_pos) for QC.
+        method: "straight" (linear, :func:`invert_travel_times` — right at
+            soft-tissue contrasts) or "bent" (eikonal/Fermat rays,
+            :func:`invert_travel_times_bent` — use above ~10 % contrast).
+        n_outer: ray-geometry refinements for ``method="bent"``.
 
     Returns:
         c_init (ny, nx) float32 [m/s] — pass as ``c_init`` /
@@ -327,9 +439,18 @@ def traveltime_init(td, grid: Grid2D, num_excluded_each_side: int = 31,
     tx_pos = pos[ti]
     rx_pos = pos[ri]
     t_obs = t_all[ti, ri]
-    vel, _relres = invert_travel_times(
-        t_obs, tx_pos, rx_pos, grid, c_ref=c_ref, lam_smooth=lam_smooth,
-        cg_iters=cg_iters, clip_velocity=clip_velocity)
+    if method == "bent":
+        vel, _relres = invert_travel_times_bent(
+            t_obs, tx_pos, rx_pos, grid, c_ref=c_ref, lam_smooth=lam_smooth,
+            cg_iters=cg_iters, n_outer=n_outer,
+            clip_velocity=clip_velocity or (1300.0, 1800.0))
+    elif method == "straight":
+        vel, _relres = invert_travel_times(
+            t_obs, tx_pos, rx_pos, grid, c_ref=c_ref, lam_smooth=lam_smooth,
+            cg_iters=cg_iters, clip_velocity=clip_velocity)
+    else:
+        raise ValueError(f"unknown travel-time method {method!r} "
+                         "(expected 'straight' or 'bent')")
     vel = np.asarray(jax.device_get(vel))
     if return_times:
         return vel, t_obs, tx_pos, rx_pos
