@@ -27,6 +27,12 @@ from .fwi.newton import (GNResult, make_frechet_operators, run_gauss_newton,
 from .fwi.runner import invert_dataset, reconstruction_rmse
 from .fwi.traveltime import (invert_travel_times, pick_arrival_times,
                              straight_ray_times, traveltime_init)
+from .fwi.eikonal import eikonal_solve, trace_rays
+from .fwi.eikonal3d import (eikonal_solve_3d, eikonal_receiver_times_3d,
+                            trace_rays_3d)
+from .fwi.traveltime3d import (invert_travel_times_3d,
+                               invert_travel_times_bent_3d,
+                               straight_ray_times_3d)
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,
                                    cylinder_positions, hemisphere_positions)
 from .parallel.spike import (SpikeFactor, spike_factor, spike_helmholtz_factor,

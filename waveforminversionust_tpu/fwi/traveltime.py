@@ -191,7 +191,9 @@ def _normal_eq_solve(b_apply, r0, grid: Grid2D, lam_smooth, cg_iters: int):
     rhs = bt_apply(r0)[0]
     density = bt_apply(jnp.ones_like(r0))[0]        # ray-coverage map
     diag = density + 1e-3 * jnp.max(density)
-    s_reg = lam_smooth * jnp.mean(density) / 8.0    # ||L^T L||_inf = 8 in 2D
+    # ||L^T L||_inf = 4 * ndim (8 in 2D, 12 in 3D — this core is shared
+    # with fwi/traveltime3d.py)
+    s_reg = lam_smooth * jnp.mean(density) / (4.0 * len(grid.shape))
 
     def hvp(ds):
         return bt_apply(b_apply(ds))[0] + s_reg * _laplacian_ltl(ds)
@@ -355,14 +357,24 @@ def invert_travel_times_bent(t_obs, tx_pos, rx_pos, grid: Grid2D,
     max_d = float(np.max(np.linalg.norm(rx - tx, axis=-1)))
     n_steps = int(np.ceil(1.6 * max_d / step)) + 16
 
+    # Pass 1 rays are straight anyway (homogeneous start) — use EXACT
+    # chords, not traced ones: discrete tracing's per-pair arc-length
+    # noise (~0.5 %) otherwise injects a slowness bias comparable to weak
+    # anomalies. Also skips the priciest eikonal batch.
+    alpha = (np.arange(int(n_samples), dtype=np.float32) + 0.5) / n_samples
+    pts = tx[:, None, :] + alpha[None, :, None] * (rx - tx)[:, None, :]
+    lengths = np.linalg.norm(rx - tx, axis=-1)
+
     vel = jnp.full(grid.shape, jnp.float32(c_ref))
     relres = jnp.float32(np.inf)
-    for _ in range(int(n_outer)):
+    for outer in range(int(n_outer)):
         slowness = 1.0 / vel
-        t_fields = eikonal_solve_batch(slowness, jnp.asarray(src_unique), grid)
-        pts, lengths = trace_rays(t_fields, src_idx, tx, rx, grid,
-                                  n_steps=n_steps, step=float(step),
-                                  n_samples=int(n_samples))
+        if outer > 0:
+            t_fields = eikonal_solve_batch(slowness, jnp.asarray(src_unique),
+                                           grid)
+            pts, lengths = trace_rays(t_fields, src_idx, tx, rx, grid,
+                                      n_steps=n_steps, step=float(step),
+                                      n_samples=int(n_samples))
         s_new, relres = _invert_bent_step_jit(
             t_obs, pts, lengths, slowness, grid,
             jnp.float32(lam_smooth), int(cg_iters))
