@@ -1,0 +1,156 @@
+"""3D broadband time-domain pipeline: synthesis, frequency extraction,
+FWI bridge, travel-time starting model (data/timedomain3d.py,
+fwi/traveltime3d.py::traveltime_init_3d).
+
+The reference is strictly 2D; these mirror tests/test_timedomain.py's
+exactness and end-to-end structure volumetrically at tiny sizes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveforminversionust_tpu.config import FWIConfig, PMLConfig
+from waveforminversionust_tpu.data.timedomain import extract_frequency_data
+from waveforminversionust_tpu.data.timedomain3d import (
+    synthesize_time_domain_dataset_3d, timedomain_to_fwi_data_3d)
+from waveforminversionust_tpu.fwi.fwi3d import nonlinear_cg_3d
+from waveforminversionust_tpu.fwi.traveltime3d import traveltime_init_3d
+from waveforminversionust_tpu.models.acquisition3d import cylinder_positions
+from waveforminversionust_tpu.models.grid3d import Grid3D
+from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
+from waveforminversionust_tpu.ops.cpx import Cpx
+
+GRID = Grid3D.centered(12e-3, 1.0e-3)                  # 25^3, tiny
+POS = cylinder_positions(2, 8, 8e-3, 6e-3)             # 16 elements
+KW = dict(f_low=0.2e6, f_high=0.3e6, df=0.05e6, seed=3)  # 3-line comb
+PML = PMLConfig(a0=20.0, l_pml=12e-3)
+
+
+def _blob_vel(grid, dv=60.0, center=(0.0, 2e-3, 1e-3), r=3.5e-3):
+    Z, Y, X = grid.meshgrid()
+    d2 = ((X - center[2]) ** 2 + (Y - center[1]) ** 2
+          + (Z - center[0]) ** 2)
+    return (1500.0 + dv * np.exp(-d2 / (2 * (r / 2) ** 2))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def td3():
+    return synthesize_time_domain_dataset_3d(_blob_vel(GRID), GRID, POS, **KW)
+
+
+def test_extraction_inverts_synthesis_exactly(td3):
+    """On the comb's orthogonal DFT time grid, narrowband extraction of a
+    comb line reproduces the monochromatic receiver matrix of a direct
+    solve (up to the known spectrum weight, divided out)."""
+    k = 1                                              # middle comb line
+    rec = extract_frequency_data(td3.traces, td3.times, td3.freqs[k],
+                                 td3.df, spectrum=td3.spectrum[k])[0]
+
+    # Direct monochromatic solve with the SAME (random-amplitude) sources.
+    idx = np.stack([
+        np.argmin(np.abs(GRID.z[:, None] - td3.positions_snapped[:, 2]),
+                  axis=0),
+        np.argmin(np.abs(GRID.y[:, None] - td3.positions_snapped[:, 1]),
+                  axis=0),
+        np.argmin(np.abs(GRID.x[:, None] - td3.positions_snapped[:, 0]),
+                  axis=0)], axis=1)
+    rng = np.random.default_rng(KW["seed"])
+    n = len(POS)
+    amps = (rng.standard_normal(n)
+            + 1j * rng.standard_normal(n)).astype(np.complex64)
+    sre = np.zeros((n,) + GRID.shape, np.float32)
+    sim = np.zeros((n,) + GRID.shape, np.float32)
+    sre[np.arange(n), idx[:, 0], idx[:, 1], idx[:, 2]] = amps.real
+    sim[np.arange(n), idx[:, 0], idx[:, 1], idx[:, 2]] = amps.imag
+    u, _ = born_gmres_solve_3d(jnp.asarray(_blob_vel(GRID)),
+                               Cpx(jnp.asarray(sre), jnp.asarray(sim)),
+                               float(td3.freqs[k]), GRID, pml=PML, tol=1e-5)
+    direct = (np.asarray(u.re)
+              + 1j * np.asarray(u.im))[:, idx[:, 0], idx[:, 1], idx[:, 2]]
+    np.testing.assert_allclose(rec, direct,
+                               atol=5e-4 * np.abs(direct).max())
+
+
+def test_fwi_bridge_shapes_and_descent(td3):
+    """timedomain_to_fwi_data_3d packs masked gathers whose FWI misfit
+    decreases from a homogeneous start (source estimation absorbs the
+    un-deconvolved transmit spectrum)."""
+    acq, datasets = timedomain_to_fwi_data_3d(
+        td3, [td3.freqs[1]], GRID, min_angle=0.8)
+    (data,) = datasets
+    n_active = acq.rx_idx.shape[1]
+    assert data.rec_obs.re.shape == (acq.n_elements, n_active)
+    assert np.asarray(acq.rx_elem).shape == (acq.n_elements, n_active)
+
+    vel0 = jnp.full(GRID.shape, 1500.0, jnp.float32)
+    _vel, metrics = nonlinear_cg_3d(vel0, data, GRID, FWIConfig(),
+                                    num_iterations=2, pml=PML)
+    loss = np.asarray(metrics.loss)
+    assert np.all(np.isfinite(loss))
+    assert loss[-1] < loss[0]
+
+
+def test_deconvolve_requires_comb_line(td3):
+    with pytest.raises(ValueError):
+        timedomain_to_fwi_data_3d(td3, [td3.freqs[0] + 0.4 * td3.df], GRID,
+                                  deconvolve=True)
+    # on the comb it works
+    _, (d,) = timedomain_to_fwi_data_3d(td3, [td3.freqs[0]], GRID,
+                                        deconvolve=True)
+    assert np.all(np.isfinite(np.asarray(d.rec_obs.re)))
+
+
+def test_traveltime_init_3d_improves_model():
+    """Picker + 3D geometry plumbing + inversion end to end on analytic
+    pure-delay traces: each (tx, rx) trace is the comb synthesis of a unit
+    delay at the TRUE straight-ray time, so its envelope peaks exactly
+    there — isolating the picking/pair/inversion chain from wave physics
+    (hopeless at this 2-wavelength toy aperture; the wave path is covered
+    by the extraction and FWI-bridge tests above, and picking-on-waves by
+    the 2D tests at a realistic 30-wavelength ring)."""
+    from waveforminversionust_tpu.data.timedomain import hanning_window
+    from waveforminversionust_tpu.data.timedomain3d import \
+        TimeDomainDataset3D
+    from waveforminversionust_tpu.fwi.traveltime3d import \
+        straight_ray_times_3d
+    from waveforminversionust_tpu.models.acquisition3d import snap_to_grid3d
+
+    true = _blob_vel(GRID, dv=120.0, center=(0.0, 0.0, 0.0), r=6e-3)
+    freqs = np.arange(0.15e6, 0.45e6 + 1, 0.025e6)
+    nf = len(freqs)
+    df = 0.025e6
+    nt = 4 * nf
+    times = np.arange(nt) / (nt * df)
+    spectrum = hanning_window(nf)
+
+    idx = np.asarray(snap_to_grid3d(GRID, POS))
+    pos_snap = np.stack([GRID.x[idx[:, 2]], GRID.y[idx[:, 1]],
+                         GRID.z[idx[:, 0]]], axis=1)
+    n = len(POS)
+    pair_t = np.repeat(pos_snap, n, axis=0)
+    pair_r = np.tile(pos_snap, (n, 1))
+    t_pair = np.asarray(straight_ray_times_3d(
+        1.0 / jnp.asarray(true), pair_t, pair_r, GRID),
+        np.float64).reshape(n, n)
+    ph = 2j * np.pi * freqs[None, None, None, :] * (
+        times[None, None, :, None] - t_pair[:, :, None, None])
+    traces = np.einsum("f,ijtf->ijt",
+                       spectrum * df, np.exp(ph)).astype(np.complex64)
+    td = TimeDomainDataset3D(c=true.astype(np.float64), positions=POS,
+                             positions_snapped=pos_snap, freqs=freqs,
+                             df=df, spectrum=spectrum, times=times,
+                             traces=traces)
+
+    # analytically exact times tolerate weak smoothing (the lam ladder in
+    # traveltime.traveltime_init's docstring)
+    c_init, t_picked, tx_pos, rx_pos = traveltime_init_3d(
+        td, GRID, min_angle=0.8, lam_smooth=3.0, return_times=True)
+    t_true = np.asarray(straight_ray_times_3d(
+        1.0 / jnp.asarray(true), tx_pos, rx_pos, GRID))
+    t_ref = np.linalg.norm(rx_pos - tx_pos, axis=-1) / 1500.0
+    # picks recover the exact delays to well under the anomaly signal
+    assert (np.abs(t_picked - t_true).mean()
+            < 0.1 * np.abs(t_ref - t_true).mean())
+    rmse = lambda v: float(np.sqrt(np.mean((v - true) ** 2)))
+    assert rmse(c_init) < 0.8 * rmse(np.full(GRID.shape, 1500.0, np.float32))
+    assert c_init.shape == GRID.shape

@@ -32,7 +32,10 @@ from .fwi.eikonal3d import (eikonal_solve_3d, eikonal_receiver_times_3d,
                             trace_rays_3d)
 from .fwi.traveltime3d import (invert_travel_times_3d,
                                invert_travel_times_bent_3d,
-                               straight_ray_times_3d)
+                               straight_ray_times_3d, traveltime_init_3d)
+from .data.timedomain3d import (TimeDomainDataset3D,
+                                synthesize_time_domain_dataset_3d,
+                                timedomain_to_fwi_data_3d)
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,
                                    cylinder_positions, hemisphere_positions)
 from .parallel.spike import (SpikeFactor, spike_factor, spike_helmholtz_factor,

@@ -189,3 +189,80 @@ def invert_travel_times_bent_3d(t_obs, tx_pos, rx_pos, grid: Grid3D,
             jnp.float32(lam_smooth), int(cg_iters))
         vel = jnp.clip(1.0 / s_new, *clip_velocity)
     return vel, relres
+
+
+def traveltime_init_3d(td, grid: Grid3D, min_angle: float = 0.5,
+                       c_ref: float = 1500.0, lam_smooth: float = 10.0,
+                       search_halfwidth: float | None = None,
+                       cg_iters: int = 100,
+                       clip_velocity: tuple[float, float] | None = None,
+                       snap_to_dataset_grid: bool = True,
+                       return_times: bool = False,
+                       method: str = "straight", n_outer: int = 3):
+    """Turnkey 3D travel-time starting model from broadband channel data.
+
+    The volumetric analogue of :func:`.traveltime.traveltime_init`:
+    straight-ray predictions over the element cloud ->
+    :func:`.traveltime.pick_arrival_times` (the picker is
+    dimension-agnostic over the trace batch) on every
+    acceptance-accepted pair -> :func:`invert_travel_times_3d` (or the
+    bent-ray :func:`invert_travel_times_bent_3d`) on the inversion grid.
+    The angular acceptance rule (models.acquisition3d.build_acquisition3d)
+    replaces the 2D ±k-element exclusion arc.
+
+    Args:
+        td: :class:`~..data.timedomain3d.TimeDomainDataset3D`.
+        grid: INVERSION grid for the starting volume (need not match the
+            synthesis grid in ``td``).
+        min_angle: minimum tx–rx angular separation [rad] (drops the
+            near-tangent pairs whose direct arrival is pick-unstable).
+        lam_smooth: smoothing weight; the default (10) follows the 2D
+            picked-times noise ladder (traveltime.traveltime_init).
+        snap_to_dataset_grid: use ``td.positions_snapped`` (where the
+            synthesizer actually placed the one-hot elements) as ray
+            endpoints; pass False for measured data, where the physical
+            coordinates are the truth.
+        return_times: also return (t_picked, tx_pos, rx_pos) for QC.
+        method: "straight" (linear) or "bent" (eikonal/Fermat rays; use
+            above ~10 % contrast).
+
+    Returns:
+        c_init (nz, ny, nx) float32 [m/s] — pass as ``vel_init`` to
+        fwi.fwi3d.nonlinear_cg_3d / fwi.newton.run_gauss_newton_3d /
+        fwi.lbfgs.run_lbfgs_3d; with ``return_times=True``,
+        (c_init, t_picked, tx_pos, rx_pos).
+    """
+    from ..models.acquisition3d import build_acquisition3d
+    from .traveltime import pick_arrival_times
+
+    pos = np.asarray(td.positions_snapped if snap_to_dataset_grid
+                     else td.positions, np.float64)
+    # The mask is geometry-only; the grid argument merely snaps voxels we
+    # do not use here.
+    acq = build_acquisition3d(grid, td.positions, min_angle=min_angle)
+    rx_elem = np.asarray(acq.rx_elem)                 # (n, n_active)
+    n, n_active = rx_elem.shape
+    tx_e = np.repeat(np.arange(n), n_active)
+    rx_e = rx_elem.ravel()
+    tx_pos = pos[tx_e]
+    rx_pos = pos[rx_e]
+    t_ref = (np.linalg.norm(rx_pos - tx_pos, axis=-1) / c_ref)
+    t_obs = pick_arrival_times(td.traces[tx_e, rx_e], td.times, td.df,
+                               t_ref, search_halfwidth=search_halfwidth)
+    if method == "bent":
+        vel, _relres = invert_travel_times_bent_3d(
+            t_obs, tx_pos, rx_pos, grid, c_ref=c_ref,
+            lam_smooth=lam_smooth, cg_iters=cg_iters, n_outer=n_outer,
+            clip_velocity=clip_velocity or (1300.0, 1800.0))
+    elif method == "straight":
+        vel, _relres = invert_travel_times_3d(
+            t_obs, tx_pos, rx_pos, grid, c_ref=c_ref,
+            lam_smooth=lam_smooth, cg_iters=cg_iters,
+            clip_velocity=clip_velocity)
+    else:
+        raise ValueError(f"unknown travel-time method {method!r} "
+                         "(expected 'straight' or 'bent')")
+    vel = np.asarray(jax.device_get(vel))
+    if return_times:
+        return vel, t_obs, tx_pos, rx_pos
+    return vel

@@ -54,6 +54,10 @@ class Acquisition3D(NamedTuple):
     rx_idx: jnp.ndarray    # (ntx, n_active, 3) int32 receiver voxels
     positions: np.ndarray  # (n_elements, 3) snapped xyz [m]
     n_elements: int
+    # (ntx, n_active) int32 receiver ELEMENT ids behind rx_idx — the
+    # bridge from per-element channel data (data/timedomain3d.py traces)
+    # to the masked gathers. None on older pickles only.
+    rx_elem: np.ndarray | None = None
 
 
 def snap_to_grid3d(grid: Grid3D, positions: np.ndarray) -> np.ndarray:
@@ -106,7 +110,8 @@ def build_acquisition3d(grid: Grid3D, positions: np.ndarray,
     rx_idx = idx[rx_elem]                         # (n, n_active, 3)
     return Acquisition3D(src_idx=jnp.asarray(idx),
                          rx_idx=jnp.asarray(rx_idx),
-                         positions=pos, n_elements=n)
+                         positions=pos, n_elements=n,
+                         rx_elem=rx_elem.astype(np.int32))
 
 
 def source_fields_3d(acq: Acquisition3D, grid: Grid3D):
