@@ -90,6 +90,50 @@ def test_fwi_bridge_shapes_and_descent(td3):
     assert loss[-1] < loss[0]
 
 
+def test_invert_dataset_3d_continuation(td3):
+    """The turnkey 3D driver: two warm-started stages over the comb, loss
+    finite and decreasing within each stage; schedule validation raises."""
+    from waveforminversionust_tpu.config import ContinuationConfig
+    from waveforminversionust_tpu.fwi.runner3d import invert_dataset_3d
+
+    freqs = (float(td3.freqs[0]), float(td3.freqs[2]))
+    _, datasets = timedomain_to_fwi_data_3d(td3, freqs, GRID, min_angle=0.8)
+    calls = []
+    res = invert_dataset_3d(
+        datasets, GRID, FWIConfig(),
+        continuation=ContinuationConfig(frequencies=freqs,
+                                        iterations_per_frequency=2),
+        pml=PML, solver3d="cbs", iter_cap=400,
+        callback=lambda i, f, v, m: calls.append((i, f)))
+    assert res.frequencies == freqs
+    assert res.velocity.shape == GRID.shape
+    loss = res.metrics["loss"]
+    assert loss.shape == (4,) and np.all(np.isfinite(loss))
+    assert loss[1] < loss[0]                      # stage-1 descent
+    np.testing.assert_array_equal(res.metrics["frequency"],
+                                  [freqs[0]] * 2 + [freqs[1]] * 2)
+    assert calls == [(0, freqs[0]), (1, freqs[1])]
+
+    with pytest.raises(ValueError):
+        invert_dataset_3d(datasets, GRID,
+                          continuation=ContinuationConfig(
+                              frequencies=(9e9,)), pml=PML)
+    with pytest.raises(ValueError):
+        invert_dataset_3d(datasets, GRID, method="nope", pml=PML)
+
+
+def test_invert_dataset_3d_gn_single_stage(td3):
+    """method='gn' drives run_gauss_newton_3d through the same surface."""
+    from waveforminversionust_tpu.fwi.runner3d import invert_dataset_3d
+
+    _, datasets = timedomain_to_fwi_data_3d(td3, [td3.freqs[1]], GRID,
+                                            min_angle=0.8)
+    res = invert_dataset_3d(datasets, GRID, method="gn", num_iterations=1,
+                            cg_iters=2, pml=PML, iter_cap=300)
+    assert np.all(np.isfinite(res.metrics["loss"]))
+    assert res.velocity.shape == GRID.shape
+
+
 def test_deconvolve_requires_comb_line(td3):
     with pytest.raises(ValueError):
         timedomain_to_fwi_data_3d(td3, [td3.freqs[0] + 0.4 * td3.df], GRID,

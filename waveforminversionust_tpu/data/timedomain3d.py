@@ -209,6 +209,11 @@ def timedomain_to_fwi_data_3d(td: TimeDomainDataset3D, freqs, grid: Grid3D,
         rms = np.sqrt(np.mean(np.abs(g) ** 2))
         if rms > 0:
             g = g / rms
+        # Split complex on the HOST: device-putting a complex64 array is
+        # UNIMPLEMENTED on the targeted TPU runtime (verify-skill gotcha
+        # 3b; ops/cpx.py docstring).
+        g = Cpx(jnp.asarray(g.real.astype(np.float32)),
+                jnp.asarray(g.imag.astype(np.float32)))
         datasets.append(build_fwi_data_3d(acq, g, float(fi), grid,
                                           attenuation=attenuation))
     return acq, datasets

@@ -1,0 +1,150 @@
+"""Turnkey 3D inversion driver: multi-frequency continuation over the
+volumetric optimizer family.
+
+The 3D counterpart of :mod:`.runner` (reference driver: fwi_script.py —
+strictly 2D, single frequency). Takes the ``{frequency: FWIData3D}``
+mapping :func:`~..data.timedomain3d.timedomain_to_fwi_data_3d` produces
+(or a single dataset), runs low-to-high warm-started stages through the
+chosen optimizer (CG / Gauss-Newton / L-BFGS — the same method surface as
+the 2D ``invert_dataset``), and collects per-iteration histories.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ContinuationConfig, FWIConfig, PMLConfig
+from ..models.grid3d import Grid3D
+from .fwi3d import FWIData3D, nonlinear_cg_3d
+
+
+class InversionResult3D(NamedTuple):
+    velocity: np.ndarray          # (nz, ny, nx) reconstructed speed [m/s]
+    metrics: dict                 # per-iteration scalar histories
+    grid: Grid3D
+    frequencies: tuple            # continuation schedule actually used
+
+
+def _initial_velocity_3d(c_init, fwi: FWIConfig, grid: Grid3D):
+    """None -> homogeneous fwi.c_init; scalar -> homogeneous; (nz, ny, nx)
+    volume (e.g. fwi.traveltime3d.traveltime_init_3d) -> as given."""
+    if c_init is None:
+        return jnp.full(grid.shape, jnp.float32(fwi.c_init))
+    arr = jnp.asarray(c_init, jnp.float32)
+    if arr.ndim == 0:
+        return jnp.full(grid.shape, arr)
+    if arr.shape != grid.shape:
+        raise ValueError(f"c_init shape {arr.shape} != grid {grid.shape}")
+    return arr
+
+
+def invert_dataset_3d(datasets, grid: Grid3D,
+                      fwi: FWIConfig = FWIConfig(),
+                      continuation: ContinuationConfig | None = None,
+                      method: str = "cg",
+                      c_init=None,
+                      pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
+                      iter_cap: int = 600,
+                      solver3d: str = "gmres", gmres_tol: float = 2e-3,
+                      gmres_restart: int = 8, spectral: str = "auto",
+                      mesh=None, grid_axis: str = "grid",
+                      encode: int | None = None, encode_seed: int = 0,
+                      callback: Callable | None = None,
+                      cg_iters: int = 6, lm_damping: float = 0.1,
+                      reg_smooth: float = 1.0,
+                      num_iterations: int | None = None) -> InversionResult3D:
+    """Invert one or many per-frequency 3D datasets.
+
+    Args:
+        datasets: a single :class:`~.fwi3d.FWIData3D` or a
+            ``{frequency: FWIData3D}`` mapping (e.g. from
+            ``timedomain_to_fwi_data_3d``).
+        method: "cg" (:func:`~.fwi3d.nonlinear_cg_3d`; supports ``mesh``
+            grid sharding and ``encode`` supershots), "gn"
+            (:func:`~.newton.run_gauss_newton_3d`; ``cg_iters``/
+            ``lm_damping``/``reg_smooth`` are its knobs) or "lbfgs"
+            (:func:`~.lbfgs.run_lbfgs_3d`).
+        continuation: optional schedule; each listed frequency (which must
+            be a key of ``datasets``) runs ``iterations_per_frequency``
+            iterations warm-started from the previous stage. When None,
+            every dataset runs once in ascending frequency order with the
+            method's default iteration count (or ``num_iterations``).
+        c_init: starting volume — None (homogeneous ``fwi.c_init``),
+            scalar, or an (nz, ny, nx) array (e.g. ``traveltime_init_3d``).
+        callback: ``callback(stage_idx, frequency, velocity,
+            stage_metrics)`` after every stage.
+
+    Returns:
+        :class:`InversionResult3D` with ``metrics['loss']`` /
+        ``metrics['frequency']`` concatenated over stages.
+    """
+    if isinstance(datasets, FWIData3D):
+        datasets = {float(np.asarray(datasets.f)): datasets}
+    elif isinstance(datasets, (list, tuple)):
+        # e.g. the list timedomain_to_fwi_data_3d returns
+        datasets = {float(np.asarray(d.f)): d for d in datasets}
+    if continuation is not None and continuation.frequencies:
+        schedule = [(float(f), continuation.iterations_per_frequency)
+                    for f in continuation.frequencies]
+    else:
+        schedule = [(f, num_iterations) for f in sorted(datasets)]
+    missing = [f for f, _ in schedule if f not in datasets]
+    if missing:
+        raise ValueError(f"continuation frequencies {missing} not in "
+                         f"datasets ({sorted(datasets)})")
+
+    vel = _initial_velocity_3d(c_init, fwi, grid)
+    losses, freq_trace = [], []
+    for stage_idx, (f, iters) in enumerate(schedule):
+        data = datasets[f]
+        if method == "cg":
+            vel, metrics = nonlinear_cg_3d(
+                vel, data, grid, fwi, num_iterations=iters, pml=pml,
+                iter_cap=iter_cap, mesh=mesh, grid_axis=grid_axis,
+                solver3d=solver3d, gmres_tol=gmres_tol,
+                gmres_restart=gmres_restart, spectral=spectral,
+                encode=encode, encode_seed=encode_seed + stage_idx)
+            stage_loss = np.asarray(metrics.loss)
+        elif method == "gn":
+            from .newton import run_gauss_newton_3d
+            if mesh is not None or encode is not None:
+                raise ValueError("mesh/encode are CG-path options; "
+                                 "pre-encode GN data with "
+                                 "fwi3d.encode_supershots instead")
+            vel, metrics = run_gauss_newton_3d(
+                vel, data, grid, fwi,
+                num_iterations=(iters if iters is not None else 5),
+                cg_iters=cg_iters, lm_damping=lm_damping,
+                reg_smooth=reg_smooth, pml=pml, iter_cap=iter_cap,
+                solver3d=solver3d, gmres_tol=gmres_tol,
+                gmres_restart=gmres_restart, spectral=spectral)
+            stage_loss = np.asarray(metrics.loss)
+        elif method == "lbfgs":
+            from .lbfgs import run_lbfgs_3d
+            if mesh is not None or encode is not None:
+                raise ValueError("mesh/encode are CG-path options")
+            res = run_lbfgs_3d(
+                vel, data, grid, pml, iter_cap=iter_cap, spectral=spectral,
+                use_gmres=(solver3d == "gmres"), tol=gmres_tol,
+                restart=gmres_restart,
+                num_iterations=(iters if iters is not None else 10))
+            vel, metrics = res.velocity, res
+            stage_loss = np.asarray(res.loss_history)
+        else:
+            raise ValueError(f"unknown method {method!r} "
+                             "(expected 'cg', 'gn' or 'lbfgs')")
+        if fwi.clip_velocity is not None:
+            vel = jnp.clip(vel, *fwi.clip_velocity)
+        losses.append(stage_loss)
+        freq_trace.append(np.full(len(stage_loss), f))
+        if callback is not None:
+            callback(stage_idx, f, vel, metrics)
+
+    return InversionResult3D(
+        velocity=np.asarray(vel),
+        metrics={"loss": np.concatenate(losses),
+                 "frequency": np.concatenate(freq_trace)},
+        grid=grid, frequencies=tuple(f for f, _ in schedule))
