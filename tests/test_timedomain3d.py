@@ -144,6 +144,32 @@ def test_deconvolve_requires_comb_line(td3):
     assert np.all(np.isfinite(np.asarray(d.rec_obs.re)))
 
 
+def test_direct_arrival_gate_3d(td3):
+    """The 3D gate preserves the direct-arrival energy and suppresses the
+    rest of the record; an over-wide window raises."""
+    from waveforminversionust_tpu.data.timedomain3d import \
+        direct_arrival_gate_3d
+
+    gated = direct_arrival_gate_3d(td3, pre=2e-6, post=3e-6, taper=0.0)
+    assert gated.traces.shape == td3.traces.shape
+    period = 1.0 / td3.df
+    pos = td3.positions_snapped
+    t_arr = (np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+             / 1500.0) % period
+    # at the arrival sample the gate is ~1 (energy preserved)
+    it = np.argmin(np.abs(td3.times[None, None, :] - t_arr[..., None]),
+                   axis=-1)
+    i, j = 0, 5
+    assert np.isclose(np.abs(gated.traces[i, j, it[i, j]]),
+                      np.abs(td3.traces[i, j, it[i, j]]), rtol=1e-5)
+    # far from the window (half a period away) it is 0
+    far = int((it[i, j] + len(td3.times) // 2) % len(td3.times))
+    assert np.abs(gated.traces[i, j, far]) == 0.0
+
+    with pytest.raises(ValueError):
+        direct_arrival_gate_3d(td3, pre=period, post=period)
+
+
 def test_traveltime_init_3d_improves_model():
     """Picker + 3D geometry plumbing + inversion end to end on analytic
     pure-delay traces: each (tx, rx) trace is the comb synthesis of a unit

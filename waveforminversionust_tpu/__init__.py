@@ -33,7 +33,7 @@ from .fwi.eikonal3d import (eikonal_solve_3d, eikonal_receiver_times_3d,
 from .fwi.traveltime3d import (invert_travel_times_3d,
                                invert_travel_times_bent_3d,
                                straight_ray_times_3d, traveltime_init_3d)
-from .data.timedomain3d import (TimeDomainDataset3D,
+from .data.timedomain3d import (TimeDomainDataset3D, direct_arrival_gate_3d,
                                 synthesize_time_domain_dataset_3d,
                                 timedomain_to_fwi_data_3d)
 from .fwi.runner3d import InversionResult3D, invert_dataset_3d

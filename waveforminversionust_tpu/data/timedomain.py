@@ -324,31 +324,39 @@ def direct_arrival_gate(td: TimeDomainDataset, c_ref: float = 1500.0,
     :func:`extract_frequency_data`. Returns a new dataset with gated
     traces; all metadata unchanged.
     """
+    pos = np.stack([td.x_circ, td.y_circ], axis=1)           # (ne, 2)
+    w = _circular_gate_window(pos, td.times, td.df, c_ref, pre, post, taper)
+    return td._replace(traces=(td.traces * w).astype(td.traces.dtype))
+
+
+def _circular_gate_window(pos, times, df, c_ref, pre, post, taper):
+    """(ne, ne, nt) circular cosine-tapered gate weights around the
+    straight-ray arrival between every element pair; dimension-generic
+    over the position columns (shared by :func:`direct_arrival_gate` and
+    the 3D :func:`.timedomain3d.direct_arrival_gate_3d`)."""
     if taper < 0 or pre < 0 or post < 0:
         raise ValueError("pre/post/taper must be non-negative")
-    period = 1.0 / float(td.df)
+    period = 1.0 / float(df)
     if pre + post + 2 * taper >= period:
         raise ValueError(
             f"gate window pre+post+2*taper = {pre + post + 2 * taper:.3g} s "
             f"does not fit in one comb period 1/df = {period:.3g} s")
-    pos = np.stack([td.x_circ, td.y_circ], axis=1)           # (ne, 2)
+    pos = np.asarray(pos, np.float64)
     dist = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
     t_arr = (dist / c_ref)[..., None]                        # (ntx, nrx, 1)
-    t = td.times[None, None, :]
+    t = np.asarray(times)[None, None, :]
     # signed circular offset from the (wrapped) arrival, in [-T/2, T/2)
     d = np.mod(t - t_arr + 0.5 * period, period) - 0.5 * period
     d = d.astype(np.float32)
     if taper == 0.0:
-        w = ((d >= np.float32(-pre)) & (d <= np.float32(post)))
-        w = w.astype(np.float32)
-    else:
-        up = np.clip((d + np.float32(pre + taper)) / np.float32(taper),
-                     np.float32(0), np.float32(1))
-        dn = np.clip((np.float32(post + taper) - d) / np.float32(taper),
-                     np.float32(0), np.float32(1))
-        w = ((0.5 * (1 - np.cos(np.pi * up)))
-             * (0.5 * (1 - np.cos(np.pi * dn)))).astype(np.float32)
-    return td._replace(traces=(td.traces * w).astype(td.traces.dtype))
+        return ((d >= np.float32(-pre))
+                & (d <= np.float32(post))).astype(np.float32)
+    up = np.clip((d + np.float32(pre + taper)) / np.float32(taper),
+                 np.float32(0), np.float32(1))
+    dn = np.clip((np.float32(post + taper) - d) / np.float32(taper),
+                 np.float32(0), np.float32(1))
+    return ((0.5 * (1 - np.cos(np.pi * up)))
+            * (0.5 * (1 - np.cos(np.pi * dn)))).astype(np.float32)
 
 
 def timedomain_to_ring_datasets(td: TimeDomainDataset, freqs,

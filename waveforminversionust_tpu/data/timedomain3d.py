@@ -159,6 +159,20 @@ def synthesize_time_domain_dataset_3d(
         spectrum=spectrum, times=times, traces=traces)
 
 
+def direct_arrival_gate_3d(td: TimeDomainDataset3D, c_ref: float = 1500.0,
+                           pre: float = 3e-6, post: float = 8e-6,
+                           taper: float = 2e-6) -> TimeDomainDataset3D:
+    """Cosine-tapered time gate around the direct transmission arrival —
+    the 3D analogue of :func:`.timedomain.direct_arrival_gate` (same
+    circular-window semantics; see there). Arrival estimates use the
+    SNAPPED element positions, where the synthesized physics lives."""
+    from .timedomain import _circular_gate_window
+
+    w = _circular_gate_window(td.positions_snapped, td.times, td.df,
+                              c_ref, pre, post, taper)
+    return td._replace(traces=(td.traces * w).astype(td.traces.dtype))
+
+
 def timedomain_to_fwi_data_3d(td: TimeDomainDataset3D, freqs, grid: Grid3D,
                               min_angle: float = 0.5,
                               attenuation=None, deconvolve: bool = False):
