@@ -167,6 +167,23 @@ def test_cli_broadband_traveltime_init(capsys):
     assert "travel-time starting model RMSE" in out
 
 
+def test_cli_broadband3d(tmp_path):
+    """`broadband3d` runs the volumetric broadband workflow at toy scale
+    and writes the slice plot + volume."""
+    from waveforminversionust_tpu.cli import main
+    main(["broadband3d", "--xmax", "12e-3", "--dx", "1e-3",
+          "--rings", "2", "--per-ring", "8", "--radius", "8e-3",
+          "--z-span", "6e-3", "--min-angle", "0.8", "--l-pml", "12e-3",
+          "--f-low", "0.2e6", "--f-high", "0.3e6", "--df", "0.05e6",
+          "--freqs", "0.25e6", "--iterations", "1",
+          "--out", str(tmp_path / "vol.npy"),
+          "--plot", str(tmp_path / "bb3.png")])
+    assert os.path.exists(tmp_path / "bb3.png")
+    import numpy as np
+    v = np.load(tmp_path / "vol.npy")
+    assert v.shape == (25, 25, 25) and np.all(np.isfinite(v))
+
+
 def test_cli_gauss_newton_method(tmp_path):
     """`run --method gn` drives the Gauss-Newton optimizer from the CLI."""
     from waveforminversionust_tpu.cli import main

@@ -9,6 +9,8 @@ benchmarking:
   timedomain multi-frequency sweep -> time-domain movie + channel data
   broadband  time-domain acquisition synthesis -> frequency extraction ->
              multi-frequency continuation FWI (the full broadband workflow)
+  broadband3d  the same workflow volumetrically: cylinder-array (tx, rx, t)
+             synthesis -> optional 3D travel-time init -> 3D FWI
   bench      the headline benchmark (one JSON line)
 """
 
@@ -277,6 +279,91 @@ def _cmd_broadband(args):
         print("plot written to", args.plot)
 
 
+def _cmd_broadband3d(args):
+    """Volumetric broadband workflow: cylinder-array (tx, rx, t) synthesis
+    -> optional travel-time starting volume -> multi-frequency 3D FWI
+    through the turnkey driver (no reference counterpart — it is strictly
+    2D; see data/timedomain3d.py, fwi/runner3d.py)."""
+    from .config import ContinuationConfig, FWIConfig, PMLConfig
+    from .data.timedomain3d import (direct_arrival_gate_3d,
+                                    synthesize_time_domain_dataset_3d,
+                                    timedomain_to_fwi_data_3d)
+    from .fwi.runner3d import invert_dataset_3d
+    from .models.acquisition3d import cylinder_positions
+    from .models.grid3d import Grid3D
+
+    grid = Grid3D.centered(args.xmax, args.dx)
+    pos = cylinder_positions(args.rings, args.per_ring, args.radius,
+                             args.z_span)
+    pml = PMLConfig(a0=20.0, l_pml=args.l_pml)
+
+    Z, Y, X = grid.meshgrid()
+    r2 = (X - 0.15 * args.radius) ** 2 + Y ** 2 + Z ** 2
+    vel = (args.c_init + args.dv
+           * np.exp(-r2 / (2 * (args.blob_radius / 2) ** 2))
+           ).astype(np.float32)
+
+    td = synthesize_time_domain_dataset_3d(
+        vel, grid, pos, f_low=args.f_low, f_high=args.f_high, df=args.df,
+        pml=pml, seed=args.seed)
+    print(f"traces {td.traces.shape} [tx, rx, t] over "
+          f"{len(td.freqs)} comb lines")
+
+    rmse = lambda v: float(np.sqrt(np.mean((np.asarray(v) - vel) ** 2)))
+    c_init_map = None
+    if args.traveltime_init:
+        from .fwi.traveltime3d import traveltime_init_3d
+        pre, post, taper = args.gate
+        gated = direct_arrival_gate_3d(td, c_ref=args.c_init, pre=pre,
+                                       post=post, taper=taper)
+        c_init_map = traveltime_init_3d(
+            gated, grid, min_angle=args.min_angle, c_ref=args.c_init,
+            method=args.traveltime_method,
+            clip_velocity=(args.c_init - 2 * args.dv,
+                           args.c_init + 2 * args.dv))
+        print(f"travel-time starting volume RMSE {rmse(c_init_map):.2f} "
+              f"(homogeneous {rmse(np.full(grid.shape, args.c_init)):.2f})"
+              " m/s")
+
+    freqs = tuple(float(f) for f in (
+        args.freqs or (args.f_low, (args.f_low + args.f_high) / 2,
+                       args.f_high)))
+    _, datasets = timedomain_to_fwi_data_3d(td, freqs, grid,
+                                            min_angle=args.min_angle)
+    res = invert_dataset_3d(
+        datasets, grid,
+        FWIConfig(c_init=args.c_init,
+                  clip_velocity=(args.c_init - 2.5 * args.dv,
+                                 args.c_init + 2.5 * args.dv)),
+        continuation=ContinuationConfig(
+            frequencies=freqs, iterations_per_frequency=args.iterations),
+        method=args.method, c_init=c_init_map, pml=pml,
+        solver3d="gmres", iter_cap=400)
+    print("loss history:", np.array2string(res.metrics["loss"], precision=3))
+    print(f"reconstruction RMSE vs phantom: {rmse(res.velocity):.2f} m/s")
+    if args.out:
+        np.save(args.out, res.velocity)
+        print("velocity volume written to", args.out)
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axs = plt.subplots(2, 3, figsize=(13, 8))
+        mids = [grid.nz // 2, grid.ny // 2, grid.nx // 2]
+        for col, (name, tr, rc) in enumerate((
+                ("z", vel[mids[0]], res.velocity[mids[0]]),
+                ("y", vel[:, mids[1]], res.velocity[:, mids[1]]),
+                ("x", vel[..., mids[2]], res.velocity[..., mids[2]]))):
+            vmin, vmax = float(vel.min()), float(vel.max())
+            axs[0, col].imshow(tr, vmin=vmin, vmax=vmax, cmap="viridis")
+            axs[0, col].set_title(f"true, mid-{name} slice")
+            im = axs[1, col].imshow(rc, vmin=vmin, vmax=vmax, cmap="viridis")
+            axs[1, col].set_title(f"recovered, mid-{name} slice")
+        fig.colorbar(im, ax=axs.ravel().tolist(), label="m/s")
+        fig.savefig(args.plot, dpi=110)
+        print("plot written to", args.plot)
+
+
 def _cmd_bench(args):
     import bench
     bench.main()
@@ -419,6 +506,46 @@ def main(argv=None):
     pbb.add_argument("--seed", type=int, default=0)
     pbb.add_argument("--plot", default=None)
     pbb.set_defaults(fn=_cmd_broadband)
+
+    p3 = sub.add_parser(
+        "broadband3d",
+        help="volumetric broadband workflow: cylinder-array (tx, rx, t) "
+             "synthesis -> optional travel-time starting volume -> "
+             "multi-frequency 3D FWI")
+    p3.add_argument("--xmax", type=float, default=24e-3)
+    p3.add_argument("--dx", type=float, default=0.75e-3)
+    p3.add_argument("--rings", type=int, default=3)
+    p3.add_argument("--per-ring", type=int, default=16)
+    p3.add_argument("--radius", type=float, default=18e-3)
+    p3.add_argument("--z-span", type=float, default=12e-3)
+    p3.add_argument("--min-angle", type=float, default=0.7,
+                    help="tx-rx angular acceptance [rad] (the 3D analogue "
+                         "of the 2D exclusion arc)")
+    p3.add_argument("--l-pml", type=float, default=9e-3)
+    p3.add_argument("--dv", type=float, default=90.0,
+                    help="phantom blob amplitude [m/s]")
+    p3.add_argument("--blob-radius", type=float, default=8e-3)
+    p3.add_argument("--f-low", type=float, default=0.15e6)
+    p3.add_argument("--f-high", type=float, default=0.40e6)
+    p3.add_argument("--df", type=float, default=0.025e6)
+    p3.add_argument("--freqs", nargs="*", type=float, default=None,
+                    help="inversion frequencies (default: band "
+                         "edges+center)")
+    p3.add_argument("--iterations", type=int, default=4)
+    p3.add_argument("--method", choices=("cg", "gn", "lbfgs"), default="cg")
+    p3.add_argument("--c-init", type=float, default=1500.0)
+    p3.add_argument("--traveltime-init", action="store_true",
+                    help="start from a 3D travel-time tomogram picked off "
+                         "the gated traces (fwi.traveltime3d)")
+    p3.add_argument("--traveltime-method", choices=("straight", "bent"),
+                    default="straight")
+    p3.add_argument("--gate", nargs=3, type=float,
+                    default=(3e-6, 8e-6, 2e-6), metavar=("PRE", "POST",
+                                                         "TAPER"))
+    p3.add_argument("--seed", type=int, default=0)
+    p3.add_argument("--out", default=None, help=".npy velocity volume")
+    p3.add_argument("--plot", default=None)
+    p3.set_defaults(fn=_cmd_broadband3d)
 
     pb = sub.add_parser("bench", help="headline benchmark (JSON line)")
     pb.set_defaults(fn=_cmd_bench)
