@@ -134,6 +134,21 @@ def test_invert_dataset_3d_gn_single_stage(td3):
     assert res.velocity.shape == GRID.shape
 
 
+def test_invert_dataset_3d_alpha_method(td3):
+    """method='alpha' drives the 3D attenuation L-BFGS through the driver
+    and surfaces the recovered map in metrics['attenuation']."""
+    from waveforminversionust_tpu.fwi.runner3d import invert_dataset_3d
+
+    _, datasets = timedomain_to_fwi_data_3d(td3, [td3.freqs[1]], GRID,
+                                            min_angle=0.8)
+    res = invert_dataset_3d(datasets, GRID, FWIConfig(c_init=1500.0),
+                            method="alpha", num_iterations=1,
+                            pml=PML, iter_cap=300)
+    assert np.all(np.isfinite(res.metrics["loss"]))
+    assert res.metrics["attenuation"].shape == GRID.shape
+    assert np.all(res.metrics["attenuation"] >= 0.0)
+
+
 def test_deconvolve_requires_comb_line(td3):
     with pytest.raises(ValueError):
         timedomain_to_fwi_data_3d(td3, [td3.freqs[0] + 0.4 * td3.df], GRID,

@@ -228,6 +228,15 @@ def timedomain_to_fwi_data_3d(td: TimeDomainDataset3D, freqs, grid: Grid3D,
         # 3b; ops/cpx.py docstring).
         g = Cpx(jnp.asarray(g.real.astype(np.float32)),
                 jnp.asarray(g.imag.astype(np.float32)))
-        datasets.append(build_fwi_data_3d(acq, g, float(fi), grid,
-                                          attenuation=attenuation))
+        d = build_fwi_data_3d(acq, g, float(fi), grid,
+                              attenuation=attenuation)
+        # Scale the one-hot transmit sources so simulated fields also sit
+        # in f32 normal range (unscaled: ~1e-8-class wavefields whose
+        # squared products denormal-underflow the autodiff L-BFGS paths —
+        # the same pitfall). Source estimation absorbs the arbitrary
+        # factor; with it off, the normalized gathers carry no physical
+        # scale anyway.
+        from ..ops import cpx as _cpx
+        d = d._replace(src=_cpx.scale(d.src, 1e6))
+        datasets.append(d)
     return acq, datasets

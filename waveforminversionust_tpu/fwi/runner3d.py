@@ -65,8 +65,11 @@ def invert_dataset_3d(datasets, grid: Grid3D,
         method: "cg" (:func:`~.fwi3d.nonlinear_cg_3d`; supports ``mesh``
             grid sharding and ``encode`` supershots), "gn"
             (:func:`~.newton.run_gauss_newton_3d`; ``cg_iters``/
-            ``lm_damping``/``reg_smooth`` are its knobs) or "lbfgs"
-            (:func:`~.lbfgs.run_lbfgs_3d`).
+            ``lm_damping``/``reg_smooth`` are its knobs), "lbfgs"
+            (:func:`~.lbfgs.run_lbfgs_3d`), or "alpha"/"joint"
+            (:func:`~.lbfgs.run_lbfgs_attenuation_3d`: attenuation-map
+            inversion in the fixed c_init medium / jointly with velocity;
+            the recovered map lands in ``metrics['attenuation']``).
         continuation: optional schedule; each listed frequency (which must
             be a key of ``datasets``) runs ``iterations_per_frequency``
             iterations warm-started from the previous stage. When None,
@@ -97,6 +100,7 @@ def invert_dataset_3d(datasets, grid: Grid3D,
                          f"datasets ({sorted(datasets)})")
 
     vel = _initial_velocity_3d(c_init, fwi, grid)
+    alpha = jnp.zeros(grid.shape, jnp.float32)   # alpha/joint warm start
     losses, freq_trace = [], []
     for stage_idx, (f, iters) in enumerate(schedule):
         data = datasets[f]
@@ -133,9 +137,21 @@ def invert_dataset_3d(datasets, grid: Grid3D,
                 num_iterations=(iters if iters is not None else 10))
             vel, metrics = res.velocity, res
             stage_loss = np.asarray(res.loss_history)
+        elif method in ("alpha", "joint"):
+            from .lbfgs import run_lbfgs_attenuation_3d
+            if mesh is not None or encode is not None:
+                raise ValueError("mesh/encode are CG-path options")
+            res = run_lbfgs_attenuation_3d(
+                vel, alpha, data, grid, pml, iter_cap=iter_cap,
+                spectral=spectral, use_gmres=(solver3d == "gmres"),
+                tol=gmres_tol, restart=gmres_restart,
+                num_iterations=(iters if iters is not None else 10),
+                invert_velocity=(method == "joint"))
+            vel, alpha, metrics = res.velocity, res.attenuation, res
+            stage_loss = np.asarray(res.loss_history)
         else:
-            raise ValueError(f"unknown method {method!r} "
-                             "(expected 'cg', 'gn' or 'lbfgs')")
+            raise ValueError(f"unknown method {method!r} (expected 'cg', "
+                             "'gn', 'lbfgs', 'alpha' or 'joint')")
         if fwi.clip_velocity is not None:
             vel = jnp.clip(vel, *fwi.clip_velocity)
         losses.append(stage_loss)
@@ -143,8 +159,10 @@ def invert_dataset_3d(datasets, grid: Grid3D,
         if callback is not None:
             callback(stage_idx, f, vel, metrics)
 
+    metrics_out = {"loss": np.concatenate(losses),
+                   "frequency": np.concatenate(freq_trace)}
+    if method in ("alpha", "joint"):
+        metrics_out["attenuation"] = np.asarray(alpha)
     return InversionResult3D(
-        velocity=np.asarray(vel),
-        metrics={"loss": np.concatenate(losses),
-                 "frequency": np.concatenate(freq_trace)},
+        velocity=np.asarray(vel), metrics=metrics_out,
         grid=grid, frequencies=tuple(f for f, _ in schedule))
