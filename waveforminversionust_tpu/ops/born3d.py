@@ -223,7 +223,8 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
                         adjoint: bool = False, n_order: int = 9,
                         tol: float = 1e-5, maxiter: int = 600,
                         restart: int = 16, attenuation=None,
-                        spectral: str = "auto", shell_k0=None):
+                        spectral: str = "auto", shell_k0=None,
+                        x0: Cpx | None = None):
     """Krylov-accelerated 3D convergent Born series (split-complex).
 
     The 3D analog of 2D :func:`..born.born_gmres_solve`: the CBS fixed
@@ -254,7 +255,10 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
         return cpx.mul(gamma, u - greens(cpx.mul(v_pot, u)))
 
     b = -cpx.mul(gamma, greens(src))
-    res = gmres_cpx(a_op, b, tol=tol, maxiter=maxiter, restart=restart)
+    # x0: optional warm start (e.g. the previous comb line's field in a
+    # frequency sweep — data/timedomain3d.py measures the benefit).
+    res = gmres_cpx(a_op, b, x0=x0, tol=tol, maxiter=maxiter,
+                    restart=restart)
     return res.x, res.iterations
 
 
