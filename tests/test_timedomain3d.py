@@ -159,6 +159,26 @@ def test_deconvolve_requires_comb_line(td3):
     assert np.all(np.isfinite(np.asarray(d.rec_obs.re)))
 
 
+def test_hemisphere_array_broadband_descent():
+    """The pipeline is geometry-agnostic: a Fibonacci bowl array
+    (hemisphere_positions) synthesizes, bridges and descends too."""
+    from waveforminversionust_tpu.models.acquisition3d import \
+        hemisphere_positions
+
+    pos = hemisphere_positions(12, 8e-3)
+    td = synthesize_time_domain_dataset_3d(
+        _blob_vel(GRID, center=(-3e-3, 0.0, 0.0)), GRID, pos,
+        f_low=0.2e6, f_high=0.3e6, df=0.05e6, seed=4)
+    assert td.traces.shape == (12, 12, 12)
+    acq, (data,) = timedomain_to_fwi_data_3d(td, [0.25e6], GRID,
+                                             min_angle=0.6)
+    vel0 = jnp.full(GRID.shape, 1500.0, jnp.float32)
+    _, metrics = nonlinear_cg_3d(vel0, data, GRID, FWIConfig(),
+                                 num_iterations=2, pml=PML)
+    loss = np.asarray(metrics.loss)
+    assert np.all(np.isfinite(loss)) and loss[-1] < loss[0]
+
+
 def test_direct_arrival_gate_3d(td3):
     """The 3D gate preserves the direct-arrival energy and suppresses the
     rest of the record; an over-wide window raises."""
