@@ -134,6 +134,36 @@ def test_invert_dataset_3d_gn_single_stage(td3):
     assert res.velocity.shape == GRID.shape
 
 
+def test_invert_dataset_3d_checkpoint_resume(td3, tmp_path):
+    """Kill-and-resume at a stage boundary reproduces the uninterrupted
+    two-stage trajectory exactly."""
+    from waveforminversionust_tpu.config import ContinuationConfig
+    from waveforminversionust_tpu.fwi.runner3d import invert_dataset_3d
+
+    freqs = (float(td3.freqs[0]), float(td3.freqs[2]))
+    _, datasets = timedomain_to_fwi_data_3d(td3, freqs, GRID, min_angle=0.8)
+    kw = dict(fwi=FWIConfig(), pml=PML, solver3d="cbs", iter_cap=400,
+              continuation=ContinuationConfig(frequencies=freqs,
+                                              iterations_per_frequency=2))
+    full = invert_dataset_3d(datasets, GRID, **kw)
+
+    ckpt = str(tmp_path / "ck")
+    # "killed" after stage 0: run stage 0 only, checkpointing
+    invert_dataset_3d(datasets, GRID,
+                      fwi=kw["fwi"], pml=PML, solver3d="cbs", iter_cap=400,
+                      continuation=ContinuationConfig(
+                          frequencies=freqs[:1], iterations_per_frequency=2),
+                      checkpoint_dir=ckpt)
+    resumed = invert_dataset_3d(datasets, GRID, **kw,
+                                resume_from=str(tmp_path / "ck" / "latest"))
+    np.testing.assert_allclose(resumed.velocity, full.velocity,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(resumed.metrics["loss"],
+                               full.metrics["loss"], rtol=1e-6)
+    np.testing.assert_array_equal(resumed.metrics["frequency"],
+                                  full.metrics["frequency"])
+
+
 def test_invert_dataset_3d_alpha_method(td3):
     """method='alpha' drives the 3D attenuation L-BFGS through the driver
     and surfaces the recovered map in metrics['attenuation']."""

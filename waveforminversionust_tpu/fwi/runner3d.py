@@ -55,7 +55,9 @@ def invert_dataset_3d(datasets, grid: Grid3D,
                       callback: Callable | None = None,
                       cg_iters: int = 6, lm_damping: float = 0.1,
                       reg_smooth: float = 1.0,
-                      num_iterations: int | None = None) -> InversionResult3D:
+                      num_iterations: int | None = None,
+                      checkpoint_dir: str | None = None,
+                      resume_from: str | None = None) -> InversionResult3D:
     """Invert one or many per-frequency 3D datasets.
 
     Args:
@@ -79,6 +81,12 @@ def invert_dataset_3d(datasets, grid: Grid3D,
             scalar, or an (nz, ny, nx) array (e.g. ``traveltime_init_3d``).
         callback: ``callback(stage_idx, frequency, velocity,
             stage_metrics)`` after every stage.
+        checkpoint_dir: save the full driver state (velocity, alpha,
+            histories, completed stage) to ``<dir>/latest`` after every
+            stage; ``resume_from`` a saved state restarts at the next
+            stage with identical trajectories (stage granularity — 3D
+            stages are the expensive unit; the 2D driver checkpoints
+            within stages too).
 
     Returns:
         :class:`InversionResult3D` with ``metrics['loss']`` /
@@ -102,7 +110,24 @@ def invert_dataset_3d(datasets, grid: Grid3D,
     vel = _initial_velocity_3d(c_init, fwi, grid)
     alpha = jnp.zeros(grid.shape, jnp.float32)   # alpha/joint warm start
     losses, freq_trace = [], []
+    start_stage = 0
+    if resume_from is not None:
+        from ..utils.checkpoint import load_state
+        st = load_state(resume_from)
+        vel = jnp.asarray(st["velocity"], jnp.float32)
+        alpha = jnp.asarray(st["attenuation"], jnp.float32)
+        start_stage = int(st["stage"]) + 1        # that stage completed
+        losses = [np.asarray(st["loss"])]
+        freq_trace = [np.asarray(st["freq_trace"])]
+    if checkpoint_dir is not None:
+        import os
+
+        from ..utils.checkpoint import save_state
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
     for stage_idx, (f, iters) in enumerate(schedule):
+        if stage_idx < start_stage:
+            continue
         data = datasets[f]
         if method == "cg":
             vel, metrics = nonlinear_cg_3d(
@@ -156,6 +181,14 @@ def invert_dataset_3d(datasets, grid: Grid3D,
             vel = jnp.clip(vel, *fwi.clip_velocity)
         losses.append(stage_loss)
         freq_trace.append(np.full(len(stage_loss), f))
+        if checkpoint_dir is not None:
+            save_state(os.path.join(checkpoint_dir, "latest"), {
+                "velocity": np.asarray(vel, np.float32),
+                "attenuation": np.asarray(alpha, np.float32),
+                "stage": np.int32(stage_idx),
+                "loss": np.concatenate(losses),
+                "freq_trace": np.concatenate(freq_trace),
+            })
         if callback is not None:
             callback(stage_idx, f, vel, metrics)
 
