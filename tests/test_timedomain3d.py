@@ -134,6 +134,25 @@ def test_invert_dataset_3d_gn_single_stage(td3):
     assert res.velocity.shape == GRID.shape
 
 
+def test_reconstruction_rmse_3d():
+    """Same-grid exactness, cross-grid trilinear consistency, masking."""
+    from waveforminversionust_tpu.fwi.runner3d import reconstruction_rmse_3d
+
+    true = _blob_vel(GRID)
+    assert reconstruction_rmse_3d(true, GRID, true, radius=9e-3) == 0.0
+    # constant offset inside the mask -> exactly that offset
+    assert np.isclose(reconstruction_rmse_3d(true + 2.5, GRID, true,
+                                             radius=9e-3), 2.5)
+    # truth on a 2x finer grid: trilinear resample keeps the smooth blob
+    fine = Grid3D.centered(12e-3, 0.5e-3)
+    Zf, Yf, Xf = fine.meshgrid()
+    d2 = (Xf - 1e-3) ** 2 + (Yf - 2e-3) ** 2 + Zf ** 2
+    true_f = (1500.0 + 60.0
+              * np.exp(-d2 / (2 * 1.75e-3 ** 2))).astype(np.float32)
+    r = reconstruction_rmse_3d(true, GRID, true_f, fine, radius=9e-3)
+    assert r < 1.0, r  # same analytic field sampled on both grids
+
+
 def test_invert_dataset_3d_checkpoint_resume(td3, tmp_path):
     """Kill-and-resume at a stage boundary reproduces the uninterrupted
     two-stage trajectory exactly."""

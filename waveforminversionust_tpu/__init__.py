@@ -36,7 +36,8 @@ from .fwi.traveltime3d import (invert_travel_times_3d,
 from .data.timedomain3d import (TimeDomainDataset3D, direct_arrival_gate_3d,
                                 synthesize_time_domain_dataset_3d,
                                 timedomain_to_fwi_data_3d)
-from .fwi.runner3d import InversionResult3D, invert_dataset_3d
+from .fwi.runner3d import (InversionResult3D, invert_dataset_3d,
+                           reconstruction_rmse_3d)
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,
                                    cylinder_positions, hemisphere_positions)
 from .parallel.spike import (SpikeFactor, spike_factor, spike_helmholtz_factor,

@@ -28,6 +28,46 @@ class InversionResult3D(NamedTuple):
     frequencies: tuple            # continuation schedule actually used
 
 
+def reconstruction_rmse_3d(velocity, grid: Grid3D, true_map,
+                           true_grid: Grid3D | None = None,
+                           radius: float = 100e-3,
+                           z_halfspan: float | None = None) -> float:
+    """RMSE between a recovered volume and a (possibly different-grid)
+    truth, evaluated inside the array cylinder (|r_xy| < radius, |z| <
+    z_halfspan) — the volumetric analogue of :func:`.runner.
+    reconstruction_rmse` (the region outside the array carries no data
+    constraint and would dominate an unmasked score)."""
+    v = np.asarray(velocity)
+    if true_grid is None or true_grid == grid:
+        interp = np.asarray(true_map)
+    else:
+        t = np.asarray(true_map)
+        fz = np.clip((grid.z - true_grid.z0) / true_grid.dz, 0,
+                     true_grid.nz - 1 - 1e-6)
+        fy = np.clip((grid.y - true_grid.y0) / true_grid.dy, 0,
+                     true_grid.ny - 1 - 1e-6)
+        fx = np.clip((grid.x - true_grid.x0) / true_grid.dx, 0,
+                     true_grid.nx - 1 - 1e-6)
+        iz, iy, ix = (f.astype(int) for f in (fz, fy, fx))
+        wz = (fz - iz)[:, None, None]
+        wy = (fy - iy)[None, :, None]
+        wx = (fx - ix)[None, None, :]
+
+        def g(dz_, dy_, dx_):
+            return t[np.ix_(iz + dz_, iy + dy_, ix + dx_)]
+
+        interp = ((g(0, 0, 0) * (1 - wx) + g(0, 0, 1) * wx) * (1 - wy)
+                  + (g(0, 1, 0) * (1 - wx) + g(0, 1, 1) * wx) * wy
+                  ) * (1 - wz) + (
+                  (g(1, 0, 0) * (1 - wx) + g(1, 0, 1) * wx) * (1 - wy)
+                  + (g(1, 1, 0) * (1 - wx) + g(1, 1, 1) * wx) * wy) * wz
+    Z, Y, X = grid.meshgrid()
+    inside = np.hypot(X, Y) < radius
+    if z_halfspan is not None:
+        inside &= np.abs(Z) < z_halfspan
+    return float(np.sqrt(np.mean((v - interp)[inside] ** 2)))
+
+
 def _initial_velocity_3d(c_init, fwi: FWIConfig, grid: Grid3D):
     """None -> homogeneous fwi.c_init; scalar -> homogeneous; (nz, ny, nx)
     volume (e.g. fwi.traveltime3d.traveltime_init_3d) -> as given."""
