@@ -57,11 +57,11 @@ def main():
     print(f"traces {td.traces.shape} [tx, rx, t], {len(td.freqs)} comb "
           f"lines  ({time.time() - t0:.1f} s)")
 
-    # model RMSE inside the array (the region the data constrains; the 2D
-    # quality metric reconstruction_rmse masks the same way)
-    inside = (np.hypot(X, Y) < 16.5e-3) & (np.abs(Z) < 7.5e-3)
-    rmse = lambda v: float(np.sqrt(np.mean(
-        (np.asarray(v) - vel_true)[inside] ** 2)))
+    # model RMSE inside the array (the region the data constrains)
+    from waveforminversionust_tpu.fwi.runner3d import reconstruction_rmse_3d
+    rmse = lambda v: reconstruction_rmse_3d(v, grid, vel_true,
+                                            radius=16.5e-3,
+                                            z_halfspan=7.5e-3)
 
     # 2. travel-time starting volume from picked direct arrivals. NOTE:
     # this demo aperture is only ~6-11 wavelengths across — picking is
