@@ -121,6 +121,16 @@ def test_invert_dataset_3d_continuation(td3):
     with pytest.raises(ValueError):
         invert_dataset_3d(datasets, GRID, method="nope", pml=PML)
 
+    # schedule matching is float32-tolerant: a 1e-8-relative perturbation
+    # of the key (np.arange emits such values) still resolves
+    res2 = invert_dataset_3d(
+        datasets, GRID, FWIConfig(),
+        continuation=ContinuationConfig(
+            frequencies=(freqs[0] * (1 + 1e-8),),
+            iterations_per_frequency=1),
+        pml=PML, solver3d="cbs", iter_cap=400)
+    assert res2.frequencies == (freqs[0],)
+
 
 def test_invert_dataset_3d_gn_single_stage(td3):
     """method='gn' drives run_gauss_newton_3d through the same surface."""

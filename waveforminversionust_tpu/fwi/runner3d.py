@@ -138,14 +138,21 @@ def invert_dataset_3d(datasets, grid: Grid3D,
         # e.g. the list timedomain_to_fwi_data_3d returns
         datasets = {float(np.asarray(d.f)): d for d in datasets}
     if continuation is not None and continuation.frequencies:
-        schedule = [(float(f), continuation.iterations_per_frequency)
-                    for f in continuation.frequencies]
+        # Tolerant key match: dataset keys round-trip through the float32
+        # FWIData3D.f while user schedules are float64 (np.arange emits
+        # 300000.00000000004-style values) — exact dict lookup would
+        # spuriously miss.
+        keys = np.array(sorted(datasets))
+        schedule = []
+        for f in continuation.frequencies:
+            i = int(np.argmin(np.abs(keys - float(f))))
+            if abs(keys[i] - float(f)) > 1e-6 * max(abs(float(f)), 1.0):
+                raise ValueError(f"continuation frequency {f} not in "
+                                 f"datasets ({sorted(datasets)})")
+            schedule.append((float(keys[i]),
+                             continuation.iterations_per_frequency))
     else:
         schedule = [(f, num_iterations) for f in sorted(datasets)]
-    missing = [f for f, _ in schedule if f not in datasets]
-    if missing:
-        raise ValueError(f"continuation frequencies {missing} not in "
-                         f"datasets ({sorted(datasets)})")
 
     vel = _initial_velocity_3d(c_init, fwi, grid)
     alpha = jnp.zeros(grid.shape, jnp.float32)   # alpha/joint warm start
