@@ -38,6 +38,7 @@ from .data.timedomain3d import (TimeDomainDataset3D, direct_arrival_gate_3d,
                                 timedomain_to_fwi_data_3d)
 from .fwi.runner3d import (InversionResult3D, invert_dataset_3d,
                            reconstruction_rmse_3d)
+from .fwi.fwi3d import scattered_data_3d
 from .models.acquisition3d import (Acquisition3D, build_acquisition3d,
                                    cylinder_positions, hemisphere_positions)
 from .parallel.spike import (SpikeFactor, spike_factor, spike_helmholtz_factor,

@@ -45,6 +45,15 @@ class FWIData3D(NamedTuple):
     # — velocity is inverted IN this fixed lossy medium, mirroring the 2D
     # engine (objective.FWIData.attenuation / ops.born3d).
     attenuation: jnp.ndarray | None = None
+    # Scattered-field mode (build with :func:`scattered_data_3d`): the
+    # background (reference-medium) receiver field, subtracted from every
+    # simulated gather before the misfit; ``rec_obs`` then holds the
+    # SCATTERED observations in simulation units. This is the standard
+    # defense when the misfit is direct-arrival-dominated — in particular
+    # under random source encoding, whose crosstalk noise scales with the
+    # DIRECT amplitude while the signal scales with the (weak) scattering
+    # (measured: the 128^3 full-aperture encoded stall, PERF_NOTES).
+    rec_ref: Cpx | None = None
 
 
 def build_fwi_data_3d(acq: Acquisition3D, rec_obs, f,
@@ -107,7 +116,60 @@ def encode_supershots(data: FWIData3D, code) -> FWIData3D:
               jnp.einsum("t...,tm->m...", data.src.im, code))
     rec = Cpx(code.T @ data.rec_obs.re, code.T @ data.rec_obs.im)
     rx = jnp.broadcast_to(data.rx_idx[:1], (m,) + data.rx_idx.shape[1:])
-    return data._replace(src=src, rec_obs=rec, rx_idx=rx)
+    ref = (None if data.rec_ref is None else
+           Cpx(code.T @ data.rec_ref.re, code.T @ data.rec_ref.im))
+    return data._replace(src=src, rec_obs=rec, rx_idx=rx, rec_ref=ref)
+
+
+@partial(jax.jit, static_argnames=("grid", "pml", "iter_cap", "solver3d",
+                                   "gmres_tol", "gmres_restart", "spectral"))
+def _scattered_data_3d_jit(data: FWIData3D, c_ref, grid: Grid3D,
+                           pml: PMLConfig, iter_cap: int, solver3d: str,
+                           gmres_tol: float, gmres_restart: int,
+                           spectral: str):
+    solve = _make_solve_3d(grid, pml, iter_cap, solver3d=solver3d,
+                           gmres_tol=gmres_tol, gmres_restart=gmres_restart,
+                           spectral=spectral)
+    vel0 = jnp.full(grid.shape, jnp.float32(c_ref))
+    wv0, _ = solve(vel0, data.src, data.f, attenuation=data.attenuation)
+    rec0 = sample_receivers_3d(wv0, data.rx_idx)
+    # Per-shot source scale fitted against the BACKGROUND simulation —
+    # accurate because the direct arrival dominates the gather — then
+    # the observations are brought into simulation units and the
+    # background is subtracted (variable projection done once, here).
+    s = estimate_source_strengths(rec0, data.rec_obs)
+    sb = Cpx(s.re[:, None], s.im[:, None])
+    rec_scat = cpx.div(data.rec_obs, sb) - rec0
+    return rec_scat, rec0
+
+
+def scattered_data_3d(data: FWIData3D, grid: Grid3D, c_ref: float = 1500.0,
+                      pml: PMLConfig = PMLConfig(a0=20.0, l_pml=12e-3),
+                      iter_cap: int = 600, solver3d: str = "gmres",
+                      gmres_tol: float = 1e-5, gmres_restart: int = 16,
+                      spectral: str = "auto") -> FWIData3D:
+    """Background-subtracted (scattered-field) dataset.
+
+    One reference solve in the homogeneous ``c_ref`` medium calibrates the
+    per-shot source scales and yields the background receiver field; the
+    returned dataset holds the SCATTERED observations in simulation units
+    (``rec_obs``) plus the background gather (``rec_ref``) that
+    :func:`objective_pieces_3d` subtracts from every simulation. Use when
+    the misfit is direct-arrival-dominated — above all with ``encode=``,
+    whose crosstalk noise rides the direct amplitude while the gradient
+    signal rides the scattering (the measured 128^3 stall, PERF_NOTES;
+    cf. scattered-field source encoding in the encoding literature).
+
+    The approximation: the background inside the loop stays the ``c_ref``
+    field while the evolving model's own direct wave shifts — valid at
+    soft-tissue contrasts where the direct arrival's change is itself
+    scattering-sized. Uses a tight default GMRES tolerance (1e-5): a
+    sloppy background leaks direct-wave residue into every gather.
+    """
+    rec_scat, rec0 = _scattered_data_3d_jit(
+        data, jnp.float32(c_ref), grid, pml, int(iter_cap), str(solver3d),
+        float(gmres_tol), int(gmres_restart), str(spectral))
+    return data._replace(rec_obs=rec_scat, rec_ref=rec0)
 
 
 def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
@@ -159,6 +221,14 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     wv, _ = solve(vel, data.src, data.f,
                   attenuation=data.attenuation)
     rec_sim = sample_receivers_3d(wv, data.rx_idx)
+    if data.rec_ref is not None:
+        # Scattered-field mode: subtract the background receiver field
+        # from the TOTAL simulation (the wavefield itself stays total —
+        # the Frechet derivative is of the total field). Source scales
+        # were baked in by scattered_data_3d; re-estimating against the
+        # near-zero scattered sim would be unstable, so it is forced off.
+        rec_sim = rec_sim - data.rec_ref
+        estimate_source = False
     if estimate_source:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)
         wv = cpx.mul(wv, Cpx(s_est.re[:, None, None, None],

@@ -230,6 +230,12 @@ def fwi_loss_3d(slowness_flat, data, grid, pml, iter_cap: int = 600,
                            spectral, use_gmres, tol, restart, False,
                            shell_k0, attenuation=data.attenuation)
     rec_sim = sample_receivers_3d(u, data.rx_idx)
+    if data.rec_ref is not None:
+        # Scattered-field mode (fwi3d.scattered_data_3d): scales are
+        # already baked in, estimation would divide by the near-zero
+        # scattered sim.
+        rec_sim = rec_sim - jax.lax.stop_gradient(data.rec_ref)
+        estimate_sources = False
     if estimate_sources:
         s_est = estimate_source_strengths(rec_sim, data.rec_obs)
         rec_sim = cpxlib.mul(rec_sim, Cpx(s_est.re[:, None],

@@ -176,6 +176,11 @@ def invert_dataset_3d(datasets, grid: Grid3D,
         if stage_idx < start_stage:
             continue
         data = datasets[f]
+        if data.rec_ref is not None and method not in ("cg", "lbfgs"):
+            raise ValueError(
+                "scattered-field data (rec_ref) is supported by the "
+                "cg and lbfgs methods; gn/alpha/joint would compare the "
+                "total simulation against scattered observations")
         if method == "cg":
             vel, metrics = nonlinear_cg_3d(
                 vel, data, grid, fwi, num_iterations=iters, pml=pml,

@@ -174,4 +174,6 @@ def shard_fwi_data_3d(data, mesh: Mesh, axis_name: str = "shot"):
         rec_obs=put(data.rec_obs, shot),
         rx_idx=put(data.rx_idx, shot),
         f=put(data.f, rep),
+        rec_ref=(None if data.rec_ref is None
+                 else put(data.rec_ref, shot)),
     )
