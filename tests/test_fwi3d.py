@@ -647,3 +647,29 @@ def test_scattered_field_encoding_converges_where_total_stalls():
     assert r_sc < 0.8 * r_init, (r_init, r_sc)      # measured 7.85 -> 5.60
     assert r_tot > r_sc, (r_tot, r_sc)              # measured 61.6
     assert np.all(np.isfinite(np.asarray(m_sc.loss)))
+
+
+def test_chunked_cg_matches_single_scan():
+    """chunk_iterations runs the CG scan as several jitted programs with
+    exact carry passthrough — identical trajectory to the single scan
+    (the per-program device-time workaround for the relay, PERF_NOTES),
+    including the momentum it=0 branch and per-iteration encode redraws
+    (global iteration indices thread through)."""
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=4, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    v_ref, m_ref = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                   iter_cap=ITER_CAP)
+    v_ch, m_ch = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                 iter_cap=ITER_CAP, chunk_iterations=3)
+    # Not bitwise: it0 is a traced input in the chunked program, so XLA
+    # compiles (and rounds) slightly differently — measured 3.5e-6
+    # relative at the last step.
+    np.testing.assert_allclose(np.asarray(v_ch), np.asarray(v_ref),
+                               rtol=0, atol=1e-4 * C0)
+    np.testing.assert_allclose(np.asarray(m_ch.loss),
+                               np.asarray(m_ref.loss), rtol=1e-4)
+    # beta is NOT asserted: this toy converges to the f32 floor within 2
+    # iterations, where the HS denominator is rounding noise (NaN in one
+    # program, tiny in the other — both guarded by reject_nonfinite).

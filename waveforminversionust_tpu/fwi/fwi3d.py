@@ -266,7 +266,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     grid_axis: str = "grid", solver3d: str = "cbs",
                     gmres_tol: float = 2e-3, gmres_restart: int = 8,
                     spectral: str = "auto", encode: int | None = None,
-                    encode_seed: int = 0):
+                    encode_seed: int = 0,
+                    chunk_iterations: int | None = None):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
 
     ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
@@ -295,6 +296,15 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     With ``fwi.estimate_source_strength`` the fitted scale is per
     SUPERSHOT — calibrate unknown per-element amplitudes beforehand.
 
+    ``chunk_iterations=k``: run the scan as ceil(n/k) separate jitted
+    programs with exact carry passthrough (identical trajectory — the
+    carry is (vel, slow, sd, grad_prev) and the global iteration index
+    threads through, so momentum's it=0 branch and the per-iteration
+    encode redraw are unchanged). Use where a runtime bounds continuous
+    per-program device time — the targeted relay kills multi-minute scan
+    programs at 128^3-class volumes (PERF_NOTES round 3) — or to insert
+    host-side checkpoints between chunks.
+
     Returns (velocity (nz, ny, nx), CGMetrics history).
     """
     if encode:
@@ -307,22 +317,43 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                 "encode= needs one shared receiver ordering across "
                 "transmitters (full aperture, build_acquisition3d with "
                 "min_angle=0.0); this acquisition has per-tx masks")
-    return _nonlinear_cg_3d_jit(vel_init, data, grid, fwi, num_iterations,
-                                pml, iter_cap, mesh, grid_axis, solver3d,
-                                gmres_tol, gmres_restart, spectral, encode,
-                                encode_seed)
+    n_iter = int(fwi.num_iterations if num_iterations is None
+                 else num_iterations)
+    kw = dict(grid=grid, fwi=fwi, pml=pml, iter_cap=iter_cap, mesh=mesh,
+              grid_axis=grid_axis, solver3d=solver3d, gmres_tol=gmres_tol,
+              gmres_restart=gmres_restart, spectral=spectral, encode=encode,
+              encode_seed=encode_seed)
+    vel0 = jnp.asarray(vel_init, jnp.float32)
+    zeros = jnp.zeros(grid.shape, jnp.float32)
+    state = (vel0, 1.0 / vel0, zeros, zeros)
+    if chunk_iterations is None or chunk_iterations >= n_iter:
+        state, metrics = _nonlinear_cg_3d_jit(
+            state, data, num_iterations=n_iter, it0=jnp.int32(0), **kw)
+        return state[0], metrics
+    parts, it = [], 0
+    while it < n_iter:
+        k = min(int(chunk_iterations), n_iter - it)
+        state, m = _nonlinear_cg_3d_jit(state, data, num_iterations=k,
+                                        it0=jnp.int32(it), **kw)
+        parts.append(m)
+        it += k
+    metrics = CGMetrics(*(jnp.concatenate([getattr(p, f) for p in parts])
+                          for f in CGMetrics._fields))
+    return state[0], metrics
 
 
 @partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
                                    "pml", "iter_cap", "mesh", "grid_axis",
                                    "solver3d", "gmres_tol", "gmres_restart",
                                    "spectral", "encode", "encode_seed"))
-def _nonlinear_cg_3d_jit(vel_init, data, grid, fwi, num_iterations,
+def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
                          pml, iter_cap, mesh, grid_axis, solver3d,
                          gmres_tol, gmres_restart, spectral, encode,
-                         encode_seed):
-    n_iter = fwi.num_iterations if num_iterations is None else num_iterations
-    vel0 = jnp.asarray(vel_init, jnp.float32)
+                         encode_seed, it0):
+    """One scan of ``num_iterations`` CG steps from ``state`` = (vel,
+    slow, search_dir, grad_prev), global iteration indices starting at the
+    TRACED ``it0`` (so every chunk of a chunked run reuses one program)."""
+    n_iter = num_iterations
     solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
                            grid_axis=grid_axis, solver3d=solver3d,
                            gmres_tol=gmres_tol, gmres_restart=gmres_restart,
@@ -378,7 +409,5 @@ def _nonlinear_cg_3d_jit(vel_init, data, grid, fwi, num_iterations,
                             beta=beta, step_size=step_sz)
         return (vel_new, slow_new, sd_new, grad), metrics
 
-    init = (vel0, 1.0 / vel0, jnp.zeros(grid.shape, jnp.float32),
-            jnp.zeros(grid.shape, jnp.float32))
-    (vel, _, _, _), metrics = jax.lax.scan(step, init, jnp.arange(n_iter))
-    return vel, metrics
+    state, metrics = jax.lax.scan(step, state, it0 + jnp.arange(n_iter))
+    return state, metrics

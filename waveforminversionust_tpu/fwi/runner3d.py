@@ -92,6 +92,7 @@ def invert_dataset_3d(datasets, grid: Grid3D,
                       gmres_restart: int = 8, spectral: str = "auto",
                       mesh=None, grid_axis: str = "grid",
                       encode: int | None = None, encode_seed: int = 0,
+                      chunk_iterations: int | None = None,
                       callback: Callable | None = None,
                       cg_iters: int = 6, lm_damping: float = 0.1,
                       reg_smooth: float = 1.0,
@@ -187,7 +188,8 @@ def invert_dataset_3d(datasets, grid: Grid3D,
                 iter_cap=iter_cap, mesh=mesh, grid_axis=grid_axis,
                 solver3d=solver3d, gmres_tol=gmres_tol,
                 gmres_restart=gmres_restart, spectral=spectral,
-                encode=encode, encode_seed=encode_seed + stage_idx)
+                encode=encode, encode_seed=encode_seed + stage_idx,
+                chunk_iterations=chunk_iterations)
             stage_loss = np.asarray(metrics.loss)
         elif method == "gn":
             from .newton import run_gauss_newton_3d
