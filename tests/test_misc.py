@@ -184,6 +184,21 @@ def test_cli_broadband3d(tmp_path):
     assert v.shape == (25, 25, 25) and np.all(np.isfinite(v))
 
 
+def test_cli_broadband3d_encoded_scattered(capsys):
+    """`broadband3d --encode --scattered --chunk` drives the
+    weak-contrast levers (supershots + background subtraction + chunked
+    scan) through the CLI."""
+    from waveforminversionust_tpu.cli import main
+    main(["broadband3d", "--xmax", "12e-3", "--dx", "1e-3",
+          "--rings", "2", "--per-ring", "8", "--radius", "8e-3",
+          "--z-span", "6e-3", "--min-angle", "0", "--l-pml", "6e-3",
+          "--f-low", "0.2e6", "--f-high", "0.3e6", "--df", "0.05e6",
+          "--freqs", "0.25e6", "--iterations", "2",
+          "--encode", "4", "--scattered", "--chunk", "1", "--dv", "80"])
+    out = capsys.readouterr().out
+    assert "reconstruction RMSE vs phantom" in out
+
+
 def test_cli_gauss_newton_method(tmp_path):
     """`run --method gn` drives the Gauss-Newton optimizer from the CLI."""
     from waveforminversionust_tpu.cli import main

@@ -330,6 +330,10 @@ def _cmd_broadband3d(args):
                        args.f_high)))
     _, datasets = timedomain_to_fwi_data_3d(td, freqs, grid,
                                             min_angle=args.min_angle)
+    if args.scattered:
+        from .fwi.fwi3d import scattered_data_3d
+        datasets = [scattered_data_3d(d, grid, c_ref=args.c_init, pml=pml)
+                    for d in datasets]
     res = invert_dataset_3d(
         datasets, grid,
         FWIConfig(c_init=args.c_init,
@@ -338,7 +342,8 @@ def _cmd_broadband3d(args):
         continuation=ContinuationConfig(
             frequencies=freqs, iterations_per_frequency=args.iterations),
         method=args.method, c_init=c_init_map, pml=pml,
-        solver3d="gmres", iter_cap=400)
+        solver3d="gmres", iter_cap=400, encode=args.encode,
+        chunk_iterations=args.chunk)
     print("loss history:", np.array2string(res.metrics["loss"], precision=3))
     print(f"reconstruction RMSE vs phantom: {rmse(res.velocity):.2f} m/s")
     if args.out:
@@ -542,6 +547,18 @@ def main(argv=None):
     p3.add_argument("--gate", nargs=3, type=float,
                     default=(3e-6, 8e-6, 2e-6), metavar=("PRE", "POST",
                                                          "TAPER"))
+    p3.add_argument("--encode", type=int, default=None,
+                    help="random source encoding: m supershots per "
+                         "iteration (needs --min-angle 0; pair with "
+                         "--scattered at weak contrast)")
+    p3.add_argument("--scattered", action="store_true",
+                    help="scattered-field misfit: subtract a homogeneous "
+                         "--c-init background solve from both sides "
+                         "(fwi3d.scattered_data_3d)")
+    p3.add_argument("--chunk", type=int, default=None,
+                    help="run the CG scan as k-iteration programs "
+                         "(exact carry; for runtimes bounding per-program "
+                         "device time)")
     p3.add_argument("--seed", type=int, default=0)
     p3.add_argument("--out", default=None, help=".npy velocity volume")
     p3.add_argument("--plot", default=None)
