@@ -1,0 +1,106 @@
+"""Background (water) speed calibration: the projected homogeneous-medium
+misfit scan must recover the true background speed from ring data, including
+through the turnkey dataset entry point. The reference has no calibration —
+it hardcodes c_init = 1480 (fwi_script.py:90); this is the standard UST
+preprocessing step that defends the FWI start against cycle skipping."""
+
+import numpy as np
+import pytest
+
+from waveforminversionust_tpu import (AcquisitionConfig, Grid2D, PMLConfig,
+                                      SolverConfig,
+                                      calibrate_background_speed)
+from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+from waveforminversionust_tpu.fwi.calibrate import background_misfit_fn
+from waveforminversionust_tpu.fwi.objective import build_fwi_data
+from waveforminversionust_tpu.models.acquisition import (
+    build_ring_acquisition, ring_positions, snap_to_grid)
+from waveforminversionust_tpu.models.phantom import smooth_blob_phantom
+
+F = 200e3
+C0 = 1520.0  # deliberately NOT the reference's 1480 hardcode
+
+ACQ = AcquisitionConfig(num_elements=32, radius=18e-3,
+                        num_excluded_each_side=5)
+SOLVER = SolverConfig(pml=PMLConfig(l_pml=4e-3))
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    """Blob-in-water acquisition, anti-inverse-crime (0.4 mm synthesis vs
+    0.8 mm calibration grid), element positions snapped to the coarse grid
+    so both grids place them identically (see synthesize_ring_dataset)."""
+    coarse = Grid2D.centered(24e-3, 0.8e-3)
+    xe, ye = ring_positions(ACQ.num_elements, ACQ.radius)
+    xi, yi = snap_to_grid(coarse, xe, ye)
+    xs, ys = coarse.x[xi], coarse.y[yi]
+    fine = Grid2D.centered(24e-3, 0.4e-3)
+    true_vel = smooth_blob_phantom(fine, radius=6e-3, dc=25, c_bkgnd=C0)
+    ds = synthesize_ring_dataset(true_vel, fine, ACQ, f=F, seed=5,
+                                 solver=SOLVER, x_elem=xs, y_elem=ys)
+    ds_homog = synthesize_ring_dataset(np.full(fine.shape, C0, np.float32),
+                                       fine, ACQ, f=F, seed=6, solver=SOLVER,
+                                       x_elem=xs, y_elem=ys)
+    return coarse, ds, ds_homog
+
+
+def test_calibration_recovers_background(dataset):
+    coarse, ds, ds_homog = dataset
+    # Pure water bath: sharp recovery of the true speed (the residual m/s-
+    # level offset is the anti-inverse-crime discretization difference).
+    res_h = calibrate_background_speed(ds_homog, grid=coarse, acquisition=ACQ,
+                                       solver=SOLVER, c_min=1440.0,
+                                       c_max=1600.0, num=9, levels=2)
+    assert abs(res_h.c0 - C0) < 3.0, res_h.c0
+    # Blob in water: the best homogeneous fit sits at the path-averaged
+    # speed — a few m/s ABOVE the water speed for a +25 m/s inclusion
+    # (measured +6.6 here), never below it.
+    res = calibrate_background_speed(ds, grid=coarse, acquisition=ACQ,
+                                     solver=SOLVER, c_min=1440.0,
+                                     c_max=1600.0, num=9, levels=2)
+    assert C0 - 3.0 < res.c0 < C0 + 12.0, res.c0
+    assert abs(res.c_grid_best - C0) < 15.0
+    # Diagnostics: 2 levels x 9 candidates, relative misfit in (0, 1],
+    # candidates sorted, and the curve is genuinely discriminating.
+    assert res.candidates.shape == (18,) and res.misfits.shape == (18,)
+    assert np.all(np.diff(res.candidates) >= 0)
+    assert 0.0 < res.misfits.min() < 0.5 * res.misfits.max()
+
+
+def test_calibration_prebuilt_data_and_misfit_curve(dataset):
+    """The data=/grid= entry point matches the dataset path, and the jitted
+    J(c) is reusable across candidates (one compile, many calls)."""
+    coarse, ds, _ = dataset
+    acq = build_ring_acquisition(coarse, ACQ, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, ds.f)
+    res = calibrate_background_speed(data=data, grid=coarse, solver=SOLVER,
+                                     c_min=1460.0, c_max=1580.0, num=7,
+                                     levels=2)
+    assert C0 - 3.0 < res.c0 < C0 + 12.0, res.c0
+    J = background_misfit_fn(data, coarse, SOLVER)
+    j_true = float(J(C0))
+    j_off = float(J(C0 - 60.0))
+    assert j_true < j_off
+    with pytest.raises(ValueError):
+        calibrate_background_speed(data=data)  # grid= required
+    with pytest.raises(ValueError):
+        calibrate_background_speed()
+
+
+def test_cli_calibrate(tmp_path, capsys):
+    """`run --calibrate CMIN:CMAX:NUM` calibrates before inverting and
+    reports the estimate."""
+    from waveforminversionust_tpu.cli import main
+    data_path = str(tmp_path / "tiny.mat")
+    main(["simulate", data_path, "--xmax", "12e-3", "--dx", "0.4e-3",
+          "--elements", "16", "--radius", "9e-3", "--frequency", "200e3"])
+    main(["run", data_path, "--iterations", "1", "--calibrate",
+          "1440:1560:4", "--grid-xmax", "12e-3", "--grid-dx", "0.8e-3",
+          "--elements", "16", "--radius", "9e-3", "--exclude", "2"])
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines()
+            if ln.startswith("calibrated background speed")]
+    assert line, out
+    c0 = float(line[0].split(":")[1].split()[0])
+    assert 1440.0 <= c0 <= 1560.0

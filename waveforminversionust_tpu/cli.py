@@ -116,6 +116,22 @@ def _cmd_run(args):
         radius=args.radius or 110e-3,
         num_excluded_each_side=args.exclude,
         interpolation=args.interpolation)}
+    if args.calibrate:
+        # Background (water) speed calibration before inversion — replaces
+        # the reference's hardcoded c_init=1480 (fwi_script.py:90) with the
+        # data's own projected-misfit minimum (fwi.calibrate).
+        import dataclasses
+        from .fwi.calibrate import calibrate_background_speed
+        parts = [float(p) for p in args.calibrate.split(":")]
+        c_lo, c_hi = parts[0], parts[1]
+        n_cand = int(parts[2]) if len(parts) > 2 else 9
+        cal = calibrate_background_speed(
+            ds, grid=grid, acquisition=acq_kwargs["acquisition"],
+            solver=solver, c_min=c_lo, c_max=c_hi, num=n_cand)
+        print(f"calibrated background speed: {cal.c0:.2f} m/s "
+              f"(grid best {cal.c_grid_best:.1f}, "
+              f"relative misfit {cal.misfits.min():.3e})")
+        fwi = dataclasses.replace(fwi, c_init=float(cal.c0))
     if args.method in ("alpha", "joint"):
         _run_alpha_inversion(args, ds, grid, solver, fwi)
         return
@@ -393,6 +409,11 @@ def main(argv=None):
                          "the differentiable lossy solve)")
     pr.add_argument("--iterations", type=int, default=10)
     pr.add_argument("--c-init", type=float, default=1480.0)
+    pr.add_argument("--calibrate", nargs="?", const="1400:1600:9",
+                    default=None, metavar="CMIN:CMAX[:NUM]",
+                    help="calibrate the background (water) speed from the "
+                         "data before inverting (overrides --c-init with "
+                         "the projected-misfit minimum; fwi.calibrate)")
     pr.add_argument("--momentum", type=int, default=4,
                     help="0=GD 1=FR 2=PR 3=PR^FR 4=HS")
     pr.add_argument("--step-formula", type=int, default=1, help="1|2|3")

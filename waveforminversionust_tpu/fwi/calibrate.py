@@ -1,0 +1,176 @@
+"""Background (water) sound-speed calibration from the recorded data.
+
+The reference hardcodes its homogeneous starting speed, c_init = 1480 m/s
+(reference: fwi_script.py:90, FrequencyDomainFWI.m:46). Real ring-array UST
+acquisitions calibrate the coupling-medium (water-bath) speed from the data
+itself: after per-shot variable projection of the unknown source strengths,
+the homogeneous-medium misfit J(c) has a sharp minimum at the true
+background speed, because the transmit-receive paths are water-dominated. A
+wrong background shifts every arrival phase coherently and is the dominant
+cause of cycle-skipped starting models at these apertures — calibration is
+the cheap first line of defense, before travel-time tomography
+(fwi.traveltime) is even needed.
+
+TPU-native shape: ONE jitted program — a full multi-RHS homogeneous
+Helmholtz solve (the same fused direct kernels as an FWI iteration) plus
+the projected misfit — re-executed over the candidate ladder. The candidate
+speed is a traced scalar argument, so the compile is paid once for the
+whole search; a multi-level zoom plus a parabolic fit of the discrete
+minimum delivers sub-grid resolution with ~num + levels*... solves total.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AcquisitionConfig, SolverConfig
+from ..models.acquisition import build_ring_acquisition
+from ..models.grid import Grid2D
+from ..ops import cpx
+from ..ops.cpx import Cpx
+from ..ops.solve import auto_split, solve_helmholtz
+from .objective import (FWIData, build_fwi_data, estimate_source_strengths,
+                        misfit, sample_receivers)
+
+
+class CalibrationResult(NamedTuple):
+    """Outcome of :func:`calibrate_background_speed`.
+
+    Attributes:
+        c0: calibrated background speed [m/s] (parabolic sub-grid estimate).
+        candidates: (n,) all candidate speeds evaluated, in evaluation order.
+        misfits: (n,) relative misfit ``J(c) / (0.5 sum |d|^2)`` per candidate.
+        c_grid_best: best DISCRETE candidate (argmin of ``misfits``).
+    """
+
+    c0: float
+    candidates: np.ndarray
+    misfits: np.ndarray
+    c_grid_best: float
+
+
+def background_misfit_fn(data: FWIData, grid: Grid2D,
+                         solver: SolverConfig = SolverConfig()):
+    """Jitted ``J(c)``: relative data misfit of a homogeneous medium at
+    speed ``c`` [m/s], with per-shot source strengths projected out
+    (objective.estimate_source_strengths — the same variable projection the
+    CG loop applies, so J(c) is comparable to the inversion's loss scale).
+
+    ``c`` is a traced argument: one compile serves every candidate.
+    """
+    solver = auto_split(solver)
+
+    @jax.jit
+    def J(c):
+        vel = jnp.full(grid.shape, jnp.asarray(c, jnp.float32))
+        u, _ = solve_helmholtz(vel, data.src, data.f, grid, solver,
+                               attenuation=data.attenuation)
+        rec = sample_receivers(u, data.rx_y, data.rx_x, data.rx_w)
+        s = estimate_source_strengths(rec, data.rec_obs)
+        if isinstance(rec, Cpx):
+            rec = cpx.mul(rec, s[:, None])
+            obs_energy = 0.5 * jnp.sum(cpx.abs2(data.rec_obs))
+        else:
+            rec = rec * s[:, None]
+            obs_energy = 0.5 * jnp.sum(
+                jnp.real(jnp.conj(data.rec_obs) * data.rec_obs))
+        return misfit(rec, data.rec_obs) / jnp.maximum(obs_energy, 1e-38)
+
+    return J
+
+
+def _parabolic_min(c3, j3):
+    """Vertex of the parabola through three (c, J) points; falls back to the
+    middle point when the fit is degenerate or the vertex escapes the
+    bracket (the discrete minimum was at an edge)."""
+    (c0, c1, c2), (j0, j1, j2) = c3, j3
+    denom = (c1 - c0) * (j1 - j2) - (c1 - c2) * (j1 - j0)
+    if abs(denom) < 1e-30:
+        return float(c1)
+    c_star = c1 - 0.5 * ((c1 - c0) ** 2 * (j1 - j2)
+                         - (c1 - c2) ** 2 * (j1 - j0)) / denom
+    lo, hi = min(c0, c2), max(c0, c2)
+    return float(np.clip(c_star, lo, hi))
+
+
+def calibrate_background_speed(dataset=None, *, grid: Grid2D | None = None,
+                               acquisition: AcquisitionConfig = AcquisitionConfig(),
+                               solver: SolverConfig = SolverConfig(),
+                               c_min: float = 1400.0, c_max: float = 1600.0,
+                               num: int = 9, levels: int = 2,
+                               data: FWIData | None = None,
+                               attenuation=None) -> CalibrationResult:
+    """Estimate the background (water) sound speed from recorded ring data.
+
+    Multi-level grid search of the homogeneous-medium projected misfit:
+    each level evaluates ``num`` equally spaced candidates over the current
+    bracket, then zooms the bracket to one grid step around the discrete
+    minimum; the final three points get a parabolic sub-grid fit. Total cost
+    ``levels * num`` forward solves, all through one compiled program.
+
+    Args:
+        dataset: a :class:`~..data.synthesize.RingDataset` (or anything with
+            ``.x_circ/.y_circ/.f/.rec_data``). Alternatively pass a prebuilt
+            ``data=`` :class:`FWIData` (then ``grid`` is required and
+            ``acquisition`` is ignored). Use
+            ``AcquisitionConfig(tx_downsample=...)`` to calibrate on a
+            transmitter subset — the misfit minimum is insensitive to it.
+        grid: reconstruction grid (defaults to the reference's 301x301).
+        c_min / c_max / num / levels: search bracket and resolution. The
+            bracket should stay within the medium's plausible range — at
+            350 kHz the projected misfit develops cycle-skip side lobes a
+            few percent away from the truth, which is exactly why this scan
+            exists (a gradient method started in a side lobe stalls there).
+        attenuation: optional known alpha map [Np/m] (FD methods only).
+
+    Returns:
+        :class:`CalibrationResult`; feed ``result.c0`` to
+        ``invert_dataset(c_init=...)`` / ``FWIConfig(c_init=...)`` or as
+        ``c_ref`` of a travel-time start.
+    """
+    if data is None:
+        if dataset is None:
+            raise ValueError("pass a dataset or a prebuilt data=FWIData")
+        from .runner import default_inversion_grid
+        grid = grid or default_inversion_grid()
+        acq = build_ring_acquisition(grid, acquisition,
+                                     x_elem=dataset.x_circ,
+                                     y_elem=dataset.y_circ)
+        solver = auto_split(solver)
+        if attenuation is not None and np.ndim(attenuation) == 0:
+            attenuation = np.full(grid.shape, float(attenuation), np.float32)
+        data = build_fwi_data(acq, dataset.rec_data, dataset.f,
+                              split=solver.split_complex,
+                              attenuation=attenuation)
+    elif grid is None:
+        raise ValueError("data= requires grid=")
+    if num < 3:
+        raise ValueError("num must be >= 3 for the parabolic refinement")
+
+    J = background_misfit_fn(data, grid, solver)
+    all_c: list[float] = []
+    all_j: list[float] = []
+    lo, hi = float(c_min), float(c_max)
+    cs = js = None
+    for _ in range(max(1, int(levels))):
+        cs = np.linspace(lo, hi, int(num))
+        js = np.array([float(jax.device_get(J(c))) for c in cs])
+        all_c.extend(cs.tolist())
+        all_j.extend(js.tolist())
+        k = int(np.argmin(js))
+        step = cs[1] - cs[0]
+        lo, hi = cs[k] - step, cs[k] + step
+    k = int(np.argmin(js))
+    k = min(max(k, 1), len(cs) - 2)
+    c0 = _parabolic_min(cs[k - 1:k + 2], js[k - 1:k + 2])
+    order = np.argsort(all_c)
+    return CalibrationResult(
+        c0=float(c0),
+        candidates=np.asarray(all_c)[order],
+        misfits=np.asarray(all_j)[order],
+        c_grid_best=float(cs[int(np.argmin(js))]),
+    )
