@@ -88,6 +88,48 @@ def test_calibration_prebuilt_data_and_misfit_curve(dataset):
         calibrate_background_speed()
 
 
+def test_calibration_3d():
+    """3D: the projected homogeneous-volume misfit recovers the background
+    speed of a blob-in-water volume, and scattered-field data is refused
+    (its direct arrival — the calibration signal — has been subtracted)."""
+    import jax.numpy as jnp
+
+    from waveforminversionust_tpu.fwi.calibrate import (
+        calibrate_background_speed_3d)
+    from waveforminversionust_tpu.fwi.fwi3d import (build_fwi_data_3d,
+                                                    sample_receivers_3d)
+    from waveforminversionust_tpu.models.acquisition3d import (
+        build_acquisition3d, cylinder_positions, source_fields_3d)
+    from waveforminversionust_tpu.models.grid3d import Grid3D
+    from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
+
+    c3 = 1500.0
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    grid = Grid3D.centered(12e-3, 1.0e-3)
+    pos = cylinder_positions(1, 8, 8e-3, 0.0)
+    acq = build_acquisition3d(grid, pos, min_angle=0.8)
+    z = grid.z0 + grid.dz * jnp.arange(grid.nz)
+    y = grid.y0 + grid.dy * jnp.arange(grid.ny)
+    x = grid.x0 + grid.dx * jnp.arange(grid.nx)
+    r2 = (z[:, None, None] ** 2 + y[None, :, None] ** 2
+          + x[None, None, :] ** 2)
+    vel_true = (c3 + 30.0 * jnp.exp(-r2 / 4e-3 ** 2)).astype(jnp.float32)
+    # O(1e6) source scale: the f32 denormal guard for tiny 3D problems.
+    src = source_fields_3d(acq, grid) * 1e6
+    wv, _ = born_gmres_solve_3d(vel_true, src, F, grid, pml, tol=1e-6)
+    data = build_fwi_data_3d(
+        acq, sample_receivers_3d(wv, np.asarray(acq.rx_idx)), F, grid
+    )._replace(src=src)
+    res = calibrate_background_speed_3d(data, grid, pml=pml, gmres_tol=1e-5,
+                                        c_min=1420.0, c_max=1580.0, num=7,
+                                        levels=2)
+    assert c3 - 4.0 < res.c0 < c3 + 12.0, res.c0
+    with pytest.raises(ValueError):
+        from waveforminversionust_tpu.ops.cpx import Cpx
+        calibrate_background_speed_3d(
+            data._replace(rec_ref=data.rec_obs), grid, pml=pml)
+
+
 def test_cli_calibrate(tmp_path, capsys):
     """`run --calibrate CMIN:CMAX:NUM` calibrates before inverting and
     reports the estimate."""

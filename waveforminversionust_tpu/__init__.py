@@ -29,7 +29,9 @@ from .fwi.traveltime import (invert_travel_times, pick_arrival_times,
                              straight_ray_times, traveltime_init)
 from .fwi.eikonal import eikonal_solve, trace_rays
 from .fwi.calibrate import (CalibrationResult, background_misfit_fn,
-                            calibrate_background_speed)
+                            background_misfit_fn_3d,
+                            calibrate_background_speed,
+                            calibrate_background_speed_3d)
 from .fwi.eikonal3d import (eikonal_solve_3d, eikonal_receiver_times_3d,
                             trace_rays_3d)
 from .fwi.traveltime3d import (invert_travel_times_3d,

@@ -151,7 +151,12 @@ def calibrate_background_speed(dataset=None, *, grid: Grid2D | None = None,
     if num < 3:
         raise ValueError("num must be >= 3 for the parabolic refinement")
 
-    J = background_misfit_fn(data, grid, solver)
+    return _zoom_search(background_misfit_fn(data, grid, solver),
+                        c_min, c_max, num, levels)
+
+
+def _zoom_search(J, c_min, c_max, num, levels) -> CalibrationResult:
+    """Multi-level zoom grid search over a jitted scalar misfit J(c)."""
     all_c: list[float] = []
     all_j: list[float] = []
     lo, hi = float(c_min), float(c_max)
@@ -174,3 +179,65 @@ def calibrate_background_speed(dataset=None, *, grid: Grid2D | None = None,
         misfits=np.asarray(all_j)[order],
         c_grid_best=float(cs[int(np.argmin(js))]),
     )
+
+
+def background_misfit_fn_3d(data, grid, pml=None, iter_cap: int = 400,
+                            solver3d: str = "gmres", gmres_tol: float = 1e-4,
+                            spectral: str = "auto"):
+    """3D ``J(c)``: relative projected misfit of a homogeneous volume at
+    speed ``c`` through the spectral CBS/GMRES solver (fwi3d). One compile
+    serves every candidate; the homogeneous-medium scattering potential is
+    near zero, so each solve converges in a handful of matvecs.
+
+    ``gmres_tol`` defaults tighter than the FWI loop's 2e-3: the misfit
+    DIFFERENCES between nearby candidates must stay above the solver
+    noise floor for the parabolic fit to be meaningful.
+    """
+    from ..config import PMLConfig
+    from .fwi3d import (FWIData3D, _make_solve_3d, sample_receivers_3d)
+
+    assert isinstance(data, FWIData3D)
+    if data.rec_ref is not None:
+        # Scattered-field data has the direct arrival REMOVED — but the
+        # direct arrival is exactly the signal that carries the background
+        # speed. Calibrate on the raw (total-field) data, then convert with
+        # scattered_data_3d(c_ref=result.c0).
+        raise ValueError("calibrate on total-field data (before "
+                         "scattered_data_3d), not on scattered data")
+    pml = pml or PMLConfig()
+    solve = _make_solve_3d(grid, pml, iter_cap, solver3d=solver3d,
+                           gmres_tol=gmres_tol, spectral=spectral)
+
+    @jax.jit
+    def J(c):
+        vel = jnp.full(grid.shape, jnp.asarray(c, jnp.float32))
+        u, _ = solve(vel, data.src, data.f, attenuation=data.attenuation)
+        rec = sample_receivers_3d(u, data.rx_idx)
+        s = estimate_source_strengths(rec, data.rec_obs)
+        rec = cpx.mul(rec, Cpx(s.re[:, None], s.im[:, None]))
+        obs_energy = 0.5 * jnp.sum(cpx.abs2(data.rec_obs))
+        return misfit(rec, data.rec_obs) / jnp.maximum(obs_energy, 1e-38)
+
+    return J
+
+
+def calibrate_background_speed_3d(data, grid, *, pml=None,
+                                  iter_cap: int = 400,
+                                  solver3d: str = "gmres",
+                                  gmres_tol: float = 1e-4,
+                                  spectral: str = "auto",
+                                  c_min: float = 1400.0,
+                                  c_max: float = 1600.0,
+                                  num: int = 9,
+                                  levels: int = 2) -> CalibrationResult:
+    """3D background-speed calibration over an :class:`~.fwi3d.FWIData3D`
+    (same search as :func:`calibrate_background_speed`; feed ``result.c0``
+    to ``invert_dataset_3d(c_init=...)`` / as the scattered-field
+    ``c_ref``). Scale one-hot sources to O(1e6) first on weak-contrast
+    volumes — the f32 denormal pitfall (PERF_NOTES) applies here too."""
+    if num < 3:
+        raise ValueError("num must be >= 3 for the parabolic refinement")
+    J = background_misfit_fn_3d(data, grid, pml=pml, iter_cap=iter_cap,
+                                solver3d=solver3d, gmres_tol=gmres_tol,
+                                spectral=spectral)
+    return _zoom_search(J, c_min, c_max, num, levels)
