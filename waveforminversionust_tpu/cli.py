@@ -390,6 +390,41 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_qc(args):
+    from .data.matio import load_recorded_dataset
+    from .data.qc import compensate_reciprocity, qc_report
+    ds = load_recorded_dataset(args.data)
+    rep = qc_report(ds.rec_data, exclude_each_side=args.exclude,
+                    residual_threshold=args.residual_threshold,
+                    energy_threshold=args.energy_threshold)
+    print(f"reciprocity asymmetry: raw {rep.asymmetry_raw:.4g} -> "
+          f"compensated {rep.asymmetry_compensated:.4g}")
+    print(f"element response ratios |c|: min {np.abs(rep.ratios).min():.3g} "
+          f"median 1 max {np.abs(rep.ratios).max():.3g}")
+    if rep.bad_elements.size:
+        print("BAD elements:", rep.bad_elements.tolist())
+        for e in rep.bad_elements:
+            print(f"  element {e}: residual {rep.element_residual[e]:.3g}, "
+                  f"energy {rep.element_energy[e]:.3g}x median")
+    else:
+        print("all channels healthy")
+    if args.out:
+        from .data.matio import save_mat
+        mc = compensate_reciprocity(ds.rec_data, rep.ratios)
+        arrays = {
+            "REC_DATA": mc.astype(np.complex64),
+            "x": np.asarray(ds.x, np.float64),
+            "y": np.asarray(ds.y, np.float64),
+            "x_circ": np.asarray(ds.x_circ, np.float64),
+            "y_circ": np.asarray(ds.y_circ, np.float64),
+            "f": np.float64(ds.f),
+        }
+        if ds.c is not None:
+            arrays["C"] = np.asarray(ds.c, np.float64)
+        save_mat(args.out, arrays)
+        print("reciprocity-compensated dataset written to", args.out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="waveforminversionust_tpu",
                                 description=__doc__)
@@ -587,6 +622,20 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="headline benchmark (JSON line)")
     pb.set_defaults(fn=_cmd_bench)
+
+    pq = sub.add_parser(
+        "qc", help="acquisition QC: reciprocity check, element-response "
+                   "calibration, bad-channel screen (data.qc)")
+    pq.add_argument("data", help=".mat file in the RecordedData schema")
+    pq.add_argument("--exclude", type=int, default=0,
+                    help="exclude +-K ring neighbors from the pair set")
+    pq.add_argument("--residual-threshold", type=float, default=4.0,
+                    help="flag channels above K x median residual")
+    pq.add_argument("--energy-threshold", type=float, default=0.05,
+                    help="flag channels below K x median row energy")
+    pq.add_argument("--out", default=None,
+                    help="write the reciprocity-compensated dataset (.mat)")
+    pq.set_defaults(fn=_cmd_qc)
 
     args = p.parse_args(argv)
     args.fn(args)
