@@ -88,6 +88,47 @@ def test_calibration_prebuilt_data_and_misfit_curve(dataset):
         calibrate_background_speed()
 
 
+def test_receiver_sensitivity_estimation(dataset):
+    """Per-element receiver sensitivities injected into the data are
+    recovered (up to one global scale) by variable projection against a
+    forward solve at the true model, and compensation restores the misfit."""
+    import jax
+
+    from waveforminversionust_tpu.fwi.calibrate import (
+        background_misfit_fn, estimate_receiver_sensitivities)
+
+    coarse, ds, _ = dataset
+    acq = build_ring_acquisition(coarse, ACQ, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    rng = np.random.default_rng(11)
+    s_true = (rng.uniform(0.5, 2.0, ACQ.num_elements)
+              * np.exp(1j * rng.uniform(-np.pi, np.pi, ACQ.num_elements)))
+    rec_scaled = np.asarray(ds.rec_data)[acq.tx_include] * s_true[None, :]
+    data = build_fwi_data(acq, rec_scaled, ds.f)
+    vel_true = smooth_blob_phantom(coarse, radius=6e-3, dc=25, c_bkgnd=C0)
+
+    s_est, data_c = estimate_receiver_sensitivities(data, acq, vel_true,
+                                                    coarse, SOLVER)
+    observed = np.zeros(ACQ.num_elements, bool)
+    observed[np.asarray(acq.rx_indices).ravel()] = True
+    r = (s_est / s_true)[observed]
+    mags = np.abs(r)
+    assert np.std(mags) / np.mean(mags) < 0.05, np.std(mags) / np.mean(mags)
+    phases = np.angle(r * np.conj(r[0]))
+    assert np.max(np.abs(phases)) < 0.15, np.max(np.abs(phases))
+    # The projected misfit at the true model: sensitivities inflate it by
+    # orders of magnitude; compensation restores the clean-data level.
+    j_scaled = float(jax.device_get(
+        background_misfit_fn(data, coarse, SOLVER)(C0)))
+    j_comp = float(jax.device_get(
+        background_misfit_fn(data_c, coarse, SOLVER)(C0)))
+    clean = build_fwi_data(acq, np.asarray(ds.rec_data)[acq.tx_include], ds.f)
+    j_clean = float(jax.device_get(
+        background_misfit_fn(clean, coarse, SOLVER)(C0)))
+    assert j_comp < 0.2 * j_scaled
+    assert j_comp < 1.5 * j_clean
+
+
 def test_calibration_3d():
     """3D: the projected homogeneous-volume misfit recovers the background
     speed of a blob-in-water volume, and scattered-field data is refused

@@ -181,6 +181,80 @@ def _zoom_search(J, c_min, c_max, num, levels) -> CalibrationResult:
     )
 
 
+def estimate_receiver_sensitivities(data: FWIData, acq, vel, grid: Grid2D,
+                                    solver: SolverConfig = SolverConfig(),
+                                    sweeps: int = 3):
+    """Per-element receiver sensitivities from the data and a velocity model.
+
+    Reciprocity QC (data.qc) observes only the transmit/receive RATIOS
+    ``q_e/s_e``; the per-shot source estimate inside the inversion
+    (objective.estimate_source_strengths) absorbs the per-SHOT factors —
+    but a per-RECEIVER sensitivity ``s_r`` scales every column of the data
+    in a way no per-shot scalar can explain, so it survives both and biases
+    the misfit (high-|s| receivers dominate) AND the physics fit. This
+    estimates ``s`` by variable projection against one forward solve:
+    alternate the per-shot estimate with the per-element least-squares
+    column factor ``s_e = sum_t <sim, obs>_e / sum_t |sim|^2_e`` (summed
+    over the shots whose acceptance mask includes element ``e``), a
+    coordinate-descent fixed point on the separable calibration.
+
+    Args:
+        data: FWIData whose observations may carry receiver sensitivities.
+        acq: the :class:`~..models.acquisition.RingAcquisition` that built
+            ``data`` (provides the (ntx, n_active) -> element-id map).
+        vel: (ny, nx) velocity model to linearize at — the true/current
+            model for late-stage calibration, or a calibrated homogeneous
+            background early on (residual model error then leaks into
+            ``s``; keep ``sweeps`` small and re-estimate as the model
+            improves).
+
+    Returns:
+        (s, data_compensated): ``s`` (num_elements,) complex128 — unit
+        magnitude-median, elements never observed set to 1 — and a new
+        FWIData whose ``rec_obs`` entries are divided by their element's
+        sensitivity. Identifiable up to ONE global complex scale (absorbed
+        by the per-shot estimate downstream).
+    """
+    solver = auto_split(solver)
+    u, _ = solve_helmholtz(jnp.asarray(vel, jnp.float32), data.src, data.f,
+                           grid, solver, attenuation=data.attenuation)
+    rec = sample_receivers(u, data.rx_y, data.rx_x, data.rx_w)
+    if isinstance(rec, Cpx):
+        sim = (np.asarray(jax.device_get(rec.re))
+               + 1j * np.asarray(jax.device_get(rec.im))).astype(np.complex128)
+        obs = (np.asarray(jax.device_get(data.rec_obs.re))
+               + 1j * np.asarray(jax.device_get(data.rec_obs.im))
+               ).astype(np.complex128)
+    else:
+        sim = np.asarray(jax.device_get(rec)).astype(np.complex128)
+        obs = np.asarray(jax.device_get(data.rec_obs)).astype(np.complex128)
+
+    elem = np.asarray(acq.rx_indices)               # (ntx, n_active) ids
+    n_elem = int(acq.num_elements)
+    s = np.ones(n_elem, np.complex128)
+    for _ in range(max(1, int(sweeps))):
+        # (a) per-shot source factors against the s-compensated obs
+        obs_c = obs / s[elem]
+        q = (np.sum(np.conj(sim) * obs_c, axis=1)
+             / np.maximum(np.sum(np.abs(sim) ** 2, axis=1), 1e-300))
+        model = q[:, None] * sim                    # q_t * sim, per entry
+        # (b) per-element receiver factors: obs ≈ s_e * model
+        num = np.zeros(n_elem, np.complex128)
+        den = np.zeros(n_elem, np.float64)
+        np.add.at(num, elem, np.conj(model) * obs)
+        np.add.at(den, elem, np.abs(model) ** 2)
+        s = np.where(den > 0, num / np.maximum(den, 1e-300), 1.0)
+        nz = np.abs(s[den > 0])
+        if nz.size:
+            s = np.where(den > 0, s / np.median(nz), s)
+    comp = obs / s[elem]
+    if isinstance(data.rec_obs, Cpx):
+        rec_obs = cpx.of(comp.astype(np.complex64))
+    else:
+        rec_obs = jnp.asarray(comp, jnp.complex64)
+    return s, data._replace(rec_obs=rec_obs)
+
+
 def background_misfit_fn_3d(data, grid, pml=None, iter_cap: int = 400,
                             solver3d: str = "gmres", gmres_tol: float = 1e-4,
                             spectral: str = "auto"):
