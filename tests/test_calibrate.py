@@ -129,6 +129,32 @@ def test_receiver_sensitivity_estimation(dataset):
     assert j_comp < 1.5 * j_clean
 
 
+def test_runner_receiver_calibration(dataset):
+    """invert_dataset(receiver_calibration=True) on receiver-scaled data
+    reproduces the clean-data inversion; without it the trajectory is
+    visibly corrupted."""
+    from waveforminversionust_tpu import FWIConfig
+    from waveforminversionust_tpu.fwi.runner import invert_dataset
+
+    coarse, ds, _ = dataset
+    rng = np.random.default_rng(13)
+    ne = ACQ.num_elements
+    s_true = (rng.uniform(0.5, 2.0, ne)
+              * np.exp(1j * rng.uniform(-np.pi, np.pi, ne)))
+    ds_scaled = ds._replace(
+        rec_data=(np.asarray(ds.rec_data) * s_true[None, :]).astype(
+            np.complex64))
+    fwi = FWIConfig(c_init=C0, num_iterations=2)
+    kw = dict(grid=coarse, acquisition=ACQ, solver=SOLVER, fwi=fwi)
+    v_clean = invert_dataset(ds, **kw).velocity
+    v_cal = invert_dataset(ds_scaled, receiver_calibration=True,
+                           **kw).velocity
+    v_raw = invert_dataset(ds_scaled, **kw).velocity
+    err_cal = np.linalg.norm(v_cal - v_clean)
+    err_raw = np.linalg.norm(v_raw - v_clean)
+    assert err_cal < 0.2 * err_raw, (err_cal, err_raw)
+
+
 def test_calibration_3d():
     """3D: the projected homogeneous-volume misfit recovers the background
     speed of a blob-in-water volume, and scattered-field data is refused

@@ -64,7 +64,8 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
                    live_every: int | None = None,
                    live_callback: Callable | None = None,
                    c_init=None,
-                   mesh=None, grid_axis: str = "grid") -> InversionResult:
+                   mesh=None, grid_axis: str = "grid",
+                   receiver_calibration: bool = False) -> InversionResult:
     """Invert a RingDataset (loaded or synthesized).
 
     Args:
@@ -109,6 +110,12 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
             e.g. a travel-time tomogram from
             fwi.traveltime.traveltime_init (the production defense
             against cycle skipping at strong contrasts).
+        receiver_calibration: estimate and divide out per-element receiver
+            sensitivities (fwi.calibrate.estimate_receiver_sensitivities)
+            against the current model at every stage boundary — removes the
+            per-receiver response term that per-shot source estimation
+            cannot absorb. Off by default (the reference has no receiver
+            model; synthetic data is receiver-ideal).
         mesh / grid_axis: with ``solver.factorization == "spike"`` (CG and
             GN methods), the whole inversion runs grid-sharded over the mesh's
             ``grid_axis`` — one y-slab of the reconstruction grid per device
@@ -224,6 +231,14 @@ def invert_dataset(dataset, grid: Grid2D | None = None,
         data = build_fwi_data(acq, stage_ds.rec_data, freq,
                               split=solver.split_complex,
                               attenuation=attenuation)
+        if receiver_calibration:
+            # Re-estimate per-element receiver sensitivities against the
+            # CURRENT model at every stage boundary (host-side, one forward
+            # solve; fwi.calibrate) — residual model error in the estimate
+            # shrinks as continuation sharpens the model.
+            from .calibrate import estimate_receiver_sensitivities
+            _, data = estimate_receiver_sensitivities(data, acq, vel, grid,
+                                                      solver)
         if method == "cg":
             sd, gp = sd0, gp0
             while stage_it < n_iter:
