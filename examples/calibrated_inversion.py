@@ -66,9 +66,16 @@ def main():
     print(f"calibrated background speed: {cal.c0:.2f} m/s "
           f"(reference hardcode: 1480)")
 
-    # 3. Invert, started at the calibrated speed.
-    res = invert_dataset(ds, grid=grid, acquisition=acq_cfg,
-                         fwi=FWIConfig(num_iterations=10), c_init=cal.c0)
+    # 3. Invert, started at the calibrated speed, with the measured best
+    #    receiver/preconditioning configuration (PERF_NOTES: 4.20 m/s RMSE
+    #    at 10 iterations on the reference dataset; the reference
+    #    configuration scores 15.09).
+    import dataclasses
+    res = invert_dataset(
+        ds, grid=grid,
+        acquisition=dataclasses.replace(acq_cfg, interpolation="bilinear"),
+        fwi=FWIConfig(num_iterations=10, precondition="illumination"),
+        c_init=cal.c0)
     print("loss history:", np.array2string(res.metrics["loss"], precision=3))
     if ds.c is not None:
         true_grid = Grid2D.from_arrays(ds.x, ds.y)
