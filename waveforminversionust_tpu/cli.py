@@ -135,6 +135,8 @@ def _cmd_run(args):
     if args.method in ("alpha", "joint"):
         _run_alpha_inversion(args, ds, grid, solver, fwi)
         return
+    if args.receiver_calibration:
+        acq_kwargs["receiver_calibration"] = True
     if args.attenuation:
         acq_kwargs["attenuation"] = float(args.attenuation)  # expanded below
     if args.live_plot:
@@ -444,6 +446,10 @@ def main(argv=None):
                          "the differentiable lossy solve)")
     pr.add_argument("--iterations", type=int, default=10)
     pr.add_argument("--c-init", type=float, default=1480.0)
+    pr.add_argument("--receiver-calibration", action="store_true",
+                    help="estimate + divide out per-element receiver "
+                         "sensitivities at every continuation stage "
+                         "(fwi.calibrate.estimate_receiver_sensitivities)")
     pr.add_argument("--calibrate", nargs="?", const="1400:1600:9",
                     default=None, metavar="CMIN:CMAX[:NUM]",
                     help="calibrate the background (water) speed from the "
