@@ -213,3 +213,49 @@ def test_cli_calibrate(tmp_path, capsys):
     assert line, out
     c0 = float(line[0].split(":")[1].split()[0])
     assert 1440.0 <= c0 <= 1560.0
+
+
+def test_zoom_search_respects_bracket_and_global_argmin():
+    """The zoomed bracket must stay inside [c_min, c_max] even when a
+    level's argmin lands on an endpoint, and c_grid_best is the argmin over
+    ALL levels' candidates (not just the last level's)."""
+    from waveforminversionust_tpu.fwi.calibrate import _zoom_search
+
+    evaluated = []
+
+    def J(c):  # minimum far below the bracket: every level argmins at c_min
+        evaluated.append(float(c))
+        return (float(c) - 1000.0) ** 2
+
+    res = _zoom_search(J, 1400.0, 1600.0, num=5, levels=3)
+    assert min(evaluated) >= 1400.0 and max(evaluated) <= 1600.0
+    assert res.c_grid_best == 1400.0
+    assert res.c0 >= 1400.0
+    # candidates are reported sorted ascending, misfits aligned.
+    assert np.all(np.diff(res.candidates) >= 0)
+    assert res.misfits[0] == min(res.misfits)
+
+    # A non-convex J where an EARLY level's candidate is the global discrete
+    # best: later zoom levels never re-evaluate it, but c_grid_best must
+    # still report it.
+    def J2(c):
+        # sharp global min at exactly 1450 (a level-0 candidate for
+        # num=5 over [1400, 1600]); smooth decoy basin near 1540.
+        return min(abs(float(c) - 1450.0) * 10.0 + 1.0,
+                   (float(c) - 1540.0) ** 2 / 100.0 + 2.0)
+
+    res2 = _zoom_search(J2, 1400.0, 1600.0, num=5, levels=2)
+    assert res2.c_grid_best == 1450.0
+
+
+def test_cli_calibrate_spec_validation():
+    """Malformed --calibrate specs exit with a usage message, not a raw
+    IndexError/ValueError traceback."""
+    from waveforminversionust_tpu.cli import _parse_calibrate_spec
+
+    assert _parse_calibrate_spec("1400:1600") == (1400.0, 1600.0, 9)
+    assert _parse_calibrate_spec("1400:1600:5") == (1400.0, 1600.0, 5)
+    for bad in ("1500", "1400-1600", "1600:1400", "a:b", "1400:1600:2",
+                "1400:1600:9:9", "1400:1600:x"):
+        with pytest.raises(SystemExit, match="CMIN:CMAX"):
+            _parse_calibrate_spec(bad)

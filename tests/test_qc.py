@@ -107,3 +107,17 @@ def test_qc_on_reference_dataset():
     assert rep.asymmetry_raw > 1.0
     assert rep.asymmetry_compensated < 1e-4
     assert rep.bad_elements.size == 0
+
+
+def test_pair_mask_rejects_empty_pair_set():
+    """exclude_each_side >= n/2 leaves no admitted pairs; the QC entry
+    points must error instead of eigendecomposing an all-zero form and
+    returning meaningless ratios."""
+    from waveforminversionust_tpu.data.qc import _pair_mask
+    with pytest.raises(ValueError, match="admits no element pairs"):
+        _pair_mask(8, 4)
+    m = np.ones((8, 8), np.complex64)
+    with pytest.raises(ValueError, match="admits no element pairs"):
+        qc_report(m, exclude_each_side=4)
+    # One below the cutoff still works.
+    assert _pair_mask(8, 3).any()

@@ -21,6 +21,24 @@ import argparse
 import numpy as np
 
 
+def _parse_calibrate_spec(spec: str):
+    """Parse the --calibrate CMIN:CMAX[:NUM] spec; exit with a usage error
+    (not a raw traceback) on a malformed value."""
+    usage = (f"--calibrate expects CMIN:CMAX[:NUM] with CMIN < CMAX "
+             f"(e.g. 1400:1600:9); got {spec!r}")
+    parts = spec.split(":")
+    try:
+        if len(parts) not in (2, 3):
+            raise ValueError(usage)
+        c_lo, c_hi = float(parts[0]), float(parts[1])
+        n_cand = int(parts[2]) if len(parts) == 3 else 9
+    except ValueError:
+        raise SystemExit(usage)
+    if not (c_lo < c_hi) or n_cand < 3:
+        raise SystemExit(usage + " and NUM >= 3")
+    return c_lo, c_hi, n_cand
+
+
 def _run_alpha_inversion(args, ds, grid, solver, fwi):
     """--method alpha/joint: attenuation(-and-velocity) inversion through
     the differentiable lossy solve (no reference counterpart)."""
@@ -122,9 +140,7 @@ def _cmd_run(args):
         # data's own projected-misfit minimum (fwi.calibrate).
         import dataclasses
         from .fwi.calibrate import calibrate_background_speed
-        parts = [float(p) for p in args.calibrate.split(":")]
-        c_lo, c_hi = parts[0], parts[1]
-        n_cand = int(parts[2]) if len(parts) > 2 else 9
+        c_lo, c_hi, n_cand = _parse_calibrate_spec(args.calibrate)
         cal = calibrate_background_speed(
             ds, grid=grid, acquisition=acq_kwargs["acquisition"],
             solver=solver, c_min=c_lo, c_max=c_hi, num=n_cand)

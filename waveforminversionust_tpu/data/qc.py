@@ -41,7 +41,12 @@ def _pair_mask(n: int, exclude_each_side: int = 0) -> np.ndarray:
     i = np.arange(n)
     d = np.abs(i[:, None] - i[None, :])
     d = np.minimum(d, n - d)  # circular (ring) angular distance
-    return d > int(exclude_each_side)
+    mask = d > int(exclude_each_side)
+    if not mask.any():
+        raise ValueError(
+            f"exclude_each_side={exclude_each_side} admits no element pairs "
+            f"on an n={n} ring (need exclude_each_side < n/2)")
+    return mask
 
 
 def reciprocity_asymmetry(rec_data, exclude_each_side: int = 0) -> float:

@@ -42,9 +42,10 @@ class CalibrationResult(NamedTuple):
 
     Attributes:
         c0: calibrated background speed [m/s] (parabolic sub-grid estimate).
-        candidates: (n,) all candidate speeds evaluated, in evaluation order.
+        candidates: (n,) all candidate speeds evaluated, sorted ascending.
         misfits: (n,) relative misfit ``J(c) / (0.5 sum |d|^2)`` per candidate.
-        c_grid_best: best DISCRETE candidate (argmin of ``misfits``).
+        c_grid_best: best DISCRETE candidate (argmin of ``misfits`` over all
+            levels' candidates).
     """
 
     c0: float
@@ -156,7 +157,13 @@ def calibrate_background_speed(dataset=None, *, grid: Grid2D | None = None,
 
 
 def _zoom_search(J, c_min, c_max, num, levels) -> CalibrationResult:
-    """Multi-level zoom grid search over a jitted scalar misfit J(c)."""
+    """Multi-level zoom grid search over a jitted scalar misfit J(c).
+
+    The zoomed bracket is clipped to the user's [c_min, c_max] at every
+    level — an argmin on a bracket endpoint must not let later levels
+    evaluate speeds outside the stated physical range (that range is the
+    guard against cycle-skip side lobes).
+    """
     all_c: list[float] = []
     all_j: list[float] = []
     lo, hi = float(c_min), float(c_max)
@@ -168,16 +175,19 @@ def _zoom_search(J, c_min, c_max, num, levels) -> CalibrationResult:
         all_j.extend(js.tolist())
         k = int(np.argmin(js))
         step = cs[1] - cs[0]
-        lo, hi = cs[k] - step, cs[k] + step
+        lo = max(cs[k] - step, float(c_min))
+        hi = min(cs[k] + step, float(c_max))
     k = int(np.argmin(js))
     k = min(max(k, 1), len(cs) - 2)
     c0 = _parabolic_min(cs[k - 1:k + 2], js[k - 1:k + 2])
-    order = np.argsort(all_c)
+    all_c_arr = np.asarray(all_c)
+    all_j_arr = np.asarray(all_j)
+    order = np.argsort(all_c_arr)
     return CalibrationResult(
         c0=float(c0),
-        candidates=np.asarray(all_c)[order],
-        misfits=np.asarray(all_j)[order],
-        c_grid_best=float(cs[int(np.argmin(js))]),
+        candidates=all_c_arr[order],
+        misfits=all_j_arr[order],
+        c_grid_best=float(all_c_arr[int(np.argmin(all_j_arr))]),
     )
 
 
