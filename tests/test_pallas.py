@@ -37,3 +37,52 @@ def test_pallas_apply_nonsquare(rng):
     ref = h_apply(coeffs, u)
     out = h_apply_pallas(coeffs, u, interpret=INTERPRET)
     assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_pallas_apply_cpx_matches_split_engine(rng):
+    """Split-complex fused apply (the production-engine form) == the jnp
+    9-shifted-copies apply, forward and adjoint (adjoint via the
+    re-centered conjugate planes, as ops.solve._make_apply_cpx wires it)."""
+    from waveforminversionust_tpu.ops import cpx
+    from waveforminversionust_tpu.ops.pallas_stencil import h_apply_pallas_cpx
+    from waveforminversionust_tpu.ops.split_engine import (
+        adjoint_coefficients_cpx, h_apply_adjoint_cpx, h_apply_cpx,
+        helmholtz_coefficients_cpx)
+
+    grid = Grid2D.centered(12e-3, 0.8e-3)
+    vel = smooth_blob_phantom(grid, radius=4e-3, dc=40)
+    coeffs = helmholtz_coefficients_cpx(jnp.array(vel), grid,
+                                        jnp.float32(350e3),
+                                        PMLConfig(l_pml=2.4e-3))
+    shape = (3,) + grid.shape
+    u = cpx.Cpx(jnp.array(rng.standard_normal(shape), jnp.float32),
+                jnp.array(rng.standard_normal(shape), jnp.float32))
+
+    ref = h_apply_cpx(coeffs, u)
+    out = h_apply_pallas_cpx(coeffs, u, interpret=INTERPRET)
+    scale = float(jnp.abs(ref.re).max())
+    assert float(jnp.abs(out.re - ref.re).max()) < 1e-5 * scale
+    assert float(jnp.abs(out.im - ref.im).max()) < 1e-5 * scale
+
+    ref_a = h_apply_adjoint_cpx(coeffs, u)
+    out_a = h_apply_pallas_cpx(adjoint_coefficients_cpx(coeffs), u,
+                               interpret=INTERPRET)
+    assert float(jnp.abs(out_a.re - ref_a.re).max()) < 1e-5 * scale
+    assert float(jnp.abs(out_a.im - ref_a.im).max()) < 1e-5 * scale
+
+
+def test_make_apply_cpx_gating():
+    """SolverConfig.fused_apply gates the closure choice: "off" always jnp;
+    "on" always the kernel; "auto" respects the VMEM size gate."""
+    from waveforminversionust_tpu import SolverConfig
+    from waveforminversionust_tpu.ops.pallas_stencil import fused_apply_fits
+    from waveforminversionust_tpu.ops.solve import _use_fused_apply
+
+    assert fused_apply_fits(301, 301)
+    assert fused_apply_fits(801, 801)
+    assert not fused_apply_fits(1024, 1024)
+    assert not _use_fused_apply(SolverConfig(fused_apply="off"), 301, 301)
+    assert _use_fused_apply(SolverConfig(fused_apply="on"), 301, 301)
+    on_cpu = jax.default_backend() == "cpu"
+    assert _use_fused_apply(SolverConfig(), 301, 301) == (not on_cpu)
+    assert not _use_fused_apply(SolverConfig(), 1024, 1024) or not on_cpu

@@ -196,6 +196,13 @@ class SolverConfig:
     # refine) -> s/iter / RMSE trade-off before enabling.
     refactor_every: int = 1
     stale_refine: bool = True
+    # Fused 9-point operator application (ops.pallas_stencil
+    # .h_apply_pallas_cpx) for the banded refinement passes and GMRES
+    # matvecs: "auto" = on off-CPU when the whole-field kernel fits VMEM
+    # (<= ~801^2; ops.pallas_stencil.fused_apply_fits), "on" = force,
+    # "off" = the jnp apply (which materializes nine shifted field copies
+    # per component — ~9x the HBM traffic; utils.flops.h_apply_cost).
+    fused_apply: str = "auto"
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0
     born_krylov: bool = True  # GMRES-accelerate the Born series (2-5x fewer FFTs)

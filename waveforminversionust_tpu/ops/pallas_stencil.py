@@ -61,30 +61,14 @@ def _kernel(cre_ref, cim_ref, ure_ref, uim_ref, ore_ref, oim_ref,
     oim_ref[0] = out_im
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def h_apply_pallas(coeffs, u, interpret: bool = False):
-    """Pallas version of :func:`.apply.h_apply`.
-
-    Args:
-        coeffs: (9, ny, nx) complex64 operator planes.
-        u: (batch, ny, nx) complex64 fields.
-        interpret: run in interpreter mode (for CPU testing).
-    """
-    if not _HAVE_PALLAS:  # pragma: no cover
-        from .apply import h_apply
-        return h_apply(coeffs, u)
-
-    batch, ny, nx = u.shape
-    cre = jnp.real(coeffs).astype(jnp.float32)
-    cim = jnp.imag(coeffs).astype(jnp.float32)
-    ure = jnp.real(u).astype(jnp.float32)
-    uim = jnp.imag(u).astype(jnp.float32)
-
+def _apply_planes(cre, cim, ure, uim, interpret: bool):
+    """Run the fused kernel on split f32 planes; returns (out_re, out_im)."""
+    batch, ny, nx = ure.shape
     out_shape = (
         jax.ShapeDtypeStruct((batch, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((batch, ny, nx), jnp.float32),
     )
-    ore, oim = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
         out_shape=out_shape,
         grid=(batch,),
@@ -102,6 +86,64 @@ def h_apply_pallas(coeffs, u, interpret: bool = False):
             pltpu.VMEM((ny + 2, nx + 2), jnp.float32),
             pltpu.VMEM((ny + 2, nx + 2), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cre, cim, ure, uim)
+
+
+# Whole-field kernel VMEM budget: 18 coefficient planes + in/out field pair
+# + the 2 halo scratches, all f32 — ~(18 + 4 + 2) * 4 bytes per grid point.
+# Gate "auto" below the 100 MB compiler limit with margin; beyond it the
+# jnp apply (ops.apply) takes over (a y-tiled kernel would lift this).
+_FUSED_APPLY_MAX_PIX = 700_000  # 801^2 = 641k fits; 1024^2 = 1.05M does not
+
+
+def fused_apply_fits(ny: int, nx: int) -> bool:
+    """Whether the whole-field fused apply kernel fits VMEM at this grid."""
+    return ny * nx <= _FUSED_APPLY_MAX_PIX
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def h_apply_pallas(coeffs, u, interpret: bool = False):
+    """Pallas version of :func:`.apply.h_apply`.
+
+    Args:
+        coeffs: (9, ny, nx) complex64 operator planes.
+        u: (batch, ny, nx) complex64 fields.
+        interpret: run in interpreter mode (for CPU testing).
+    """
+    if not _HAVE_PALLAS:  # pragma: no cover
+        from .apply import h_apply
+        return h_apply(coeffs, u)
+
+    cre = jnp.real(coeffs).astype(jnp.float32)
+    cim = jnp.imag(coeffs).astype(jnp.float32)
+    ure = jnp.real(u).astype(jnp.float32)
+    uim = jnp.imag(u).astype(jnp.float32)
+    ore, oim = _apply_planes(cre, cim, ure, uim, interpret)
     return (ore + 1j * oim).astype(jnp.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def h_apply_pallas_cpx(coeffs, u, interpret: bool = False):
+    """Split-complex fused apply — the production-engine form (the axon
+    TPU runtime has no complex64 data movement, so the hot paths carry
+    ``ops.cpx.Cpx`` plane pairs; see SolverConfig.split_complex).
+
+    Same math as :func:`.split_engine.h_apply_cpx`, which materializes
+    nine shifted copies of the field per component (~9x the HBM traffic of
+    one streamed pass; utils.flops.h_apply_cost prices both). Used by the
+    banded solver's iterative-refinement passes and the GMRES matvecs when
+    ``SolverConfig.fused_apply`` allows (see ops.solve._make_apply_cpx).
+
+    Args:
+        coeffs: Cpx of (9, ny, nx) planes.
+        u: Cpx of (batch, ny, nx) fields.
+    """
+    from .cpx import Cpx
+    if not _HAVE_PALLAS:  # pragma: no cover
+        from .split_engine import h_apply_cpx
+        return h_apply_cpx(coeffs, u)
+    ore, oim = _apply_planes(coeffs.re, coeffs.im, u.re, u.im, interpret)
+    return Cpx(ore, oim)

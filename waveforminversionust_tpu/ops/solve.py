@@ -194,7 +194,7 @@ def _fd_solve_cpx_primal(coeffs: Cpx, rhs: Cpx, precond, grid: Grid2D,
     pass uses it to orient its own hermitian solve."""
     if cfg.method == SolverMethod.GMRES:
         m_inv = make_fft_preconditioner_cpx(grid, precond, adjoint=False)
-        a_op = lambda v: h_apply_cpx(coeffs, v)
+        a_op = _make_apply_cpx(coeffs, cfg)
         res = gmres_cpx(a_op, rhs, m_inv=m_inv, tol=cfg.tol,
                         maxiter=cfg.maxiter)
         return res.x, None
@@ -231,7 +231,7 @@ def _fd_solve_cpx_bwd(grid, cfg, adjoint_system, residuals, u_bar):
         # columns/rows; see _fd_solve_impl) — solve them directly.
         m_inv = make_fft_preconditioner_cpx(grid, precond, adjoint=True)
         herm = adjoint_coefficients_cpx(coeffs)  # = H_s if A was H_s^H
-        a_op = lambda v: h_apply_cpx(herm, v)
+        a_op = _make_apply_cpx(herm, cfg)
         lam = gmres_cpx(a_op, u_bar, m_inv=m_inv, tol=cfg.tol,
                         maxiter=cfg.maxiter).x
     else:
@@ -566,11 +566,38 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
     raise ValueError(f"unknown factorization {cfg.factorization!r}")
 
 
+def _use_fused_apply(cfg: SolverConfig, ny: int, nx: int) -> bool:
+    """Whether the fused Pallas operator apply runs at this grid/config."""
+    from .pallas_stencil import _HAVE_PALLAS, fused_apply_fits
+    mode = getattr(cfg, "fused_apply", "auto")
+    if mode == "off" or not _HAVE_PALLAS:
+        return False
+    if mode == "on":
+        return True
+    return jax.default_backend() != "cpu" and fused_apply_fits(ny, nx)
+
+
+def _make_apply_cpx(coeffs: Cpx, cfg: SolverConfig, adjoint: bool = False):
+    """Operator-apply closure H v (or H^H v) for the refinement/Krylov
+    paths: the fused one-pass Pallas kernel when allowed
+    (SolverConfig.fused_apply), else the jnp 9-shifted-copies apply. The
+    adjoint fused form gathers with the re-centered conjugate planes
+    (split_engine.adjoint_coefficients_cpx, built once per closure) —
+    same math as the scatter-form h_apply_adjoint_cpx."""
+    ny, nx = coeffs.re.shape[-2:]
+    if _use_fused_apply(cfg, ny, nx):
+        from .pallas_stencil import h_apply_pallas_cpx
+        planes = adjoint_coefficients_cpx(coeffs) if adjoint else coeffs
+        return lambda v: h_apply_pallas_cpx(planes, v)
+    if adjoint:
+        return lambda v: h_apply_adjoint_cpx(coeffs, v)
+    return lambda v: h_apply_cpx(coeffs, v)
+
+
 def _banded_solve_refined_cpx(factor, rhs: Cpx,
                               cfg: SolverConfig, adjoint: bool,
                               precision=None, extra_refine=None) -> Cpx:
-    opfn = (lambda v: h_apply_adjoint_cpx(factor.coeffs, v)) if adjoint \
-        else (lambda v: h_apply_cpx(factor.coeffs, v))
+    opfn = _make_apply_cpx(factor.coeffs, cfg, adjoint=adjoint)
     if isinstance(factor, CRFactor):
         base = cr_solve_cpx
     elif (jax.default_backend() != "cpu" and factor.sweeps is None):
@@ -686,9 +713,9 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
             # Balanced w-space adjoint: H_s^H w = s, u = D w (see
             # _fd_solve_impl for why the u-space H^H form stalls GMRES).
             coeffs = adjoint_coefficients_cpx(op.coeffs)
-            a_op = lambda v: h_apply_cpx(coeffs, v)
+            a_op = _make_apply_cpx(coeffs, cfg)
         else:
-            a_op = lambda v: h_apply_cpx(op.coeffs, v)
+            a_op = _make_apply_cpx(op.coeffs, cfg)
         if cfg.gmres_two_level and op.factor is not None:
             from .preconditioner import make_two_level_preconditioner_cpx
             m_inv = make_two_level_preconditioner_cpx(
