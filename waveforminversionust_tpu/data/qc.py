@@ -92,7 +92,21 @@ def estimate_element_ratios(rec_data,
 def compensate_reciprocity(rec_data, ratios) -> np.ndarray:
     """Divide each transmit row by its response ratio: with
     ``c = estimate_element_ratios(M)``, ``M / c[:, None]`` is reciprocal
-    (symmetric) up to the solve/noise floor."""
+    (symmetric) up to the solve/noise floor.
+
+    Noise qualifier (measured, tests/test_noise.py + PERF_NOTES round 4):
+    compensation EQUALIZES shot weighting, which improves inversion on
+    noise-free data (residuals are model-error-dominated; RecordedData
+    15.09 -> 13.72 m/s) but HURTS under additive channel noise — a row
+    recorded through a small |q_t| carries proportionally less signal over
+    the same noise floor, and dividing it back up boosts its noise to full
+    misfit weight (fixture at 30 dB SNR: 2.4 -> 4.3 m/s; the uniform-noise
+    raw misfit is already the maximum-likelihood weighting, and phase-only
+    compensation is inversion-neutral because the per-shot source estimate
+    absorbs phases). Use the full compensation when
+    ``qc_report(...).asymmetry_compensated`` lands near the solve floor
+    (~1e-4, consistent data); prefer the raw data when it sits at a
+    percent-level noise floor."""
     m = np.asarray(rec_data)
     return (m / np.asarray(ratios)[:, None]).astype(m.dtype)
 

@@ -115,6 +115,41 @@ def synthesize_ring_dataset(vel, grid: Grid2D,
     )
 
 
+def add_complex_noise(rec_data, snr_db: float, seed: int = 0,
+                      exclude_each_side: int = 0) -> np.ndarray:
+    """Additive complex-Gaussian measurement noise at a stated SNR.
+
+    The reference dataset is noise-free apart from the synthesizer's random
+    per-element source amplitudes (reference: SimulateData.m:26); real UST
+    acquisitions carry channel noise. The noise power is set against the
+    mean power of the ADMITTED entries (outside the ±``exclude_each_side``
+    ring band — the entries the inversion actually fits; the near-field
+    band contains the huge self/neighbor amplitudes and would otherwise
+    make the stated SNR meaningless for the masked misfit).
+
+    Args:
+        rec_data: (n, n) complex (tx, rx) matrix.
+        snr_db: target signal-to-noise ratio in dB over the admitted
+            entries: ``10*log10(mean|signal|^2 / mean|noise|^2)``.
+        seed: numpy Generator seed (deterministic fixtures).
+
+    Returns:
+        A new complex64 matrix; the input is not modified.
+    """
+    from .qc import _pair_mask
+
+    m = np.asarray(rec_data).astype(np.complex64)
+    w = (_pair_mask(m.shape[0], exclude_each_side)
+         if exclude_each_side else np.ones(m.shape, bool))
+    sig_pow = float(np.mean(np.abs(m[w]) ** 2))
+    noise_pow = sig_pow / (10.0 ** (snr_db / 10.0))
+    rng = np.random.default_rng(seed)
+    scale = np.sqrt(noise_pow / 2.0)
+    noise = scale * (rng.standard_normal(m.shape)
+                     + 1j * rng.standard_normal(m.shape))
+    return (m + noise).astype(np.complex64)
+
+
 def dataclass_replace_tx_all(acquisition: AcquisitionConfig) -> AcquisitionConfig:
     """Synthesis always transmits from every element (downsampling is an
     inversion-side choice; reference: SimulateData.m loops all elements) and
