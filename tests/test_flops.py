@@ -109,6 +109,11 @@ def test_roofline_classification():
     c2 = StageCost(0.0, 1e9, bytes_hbm=0.9 * V5E.hbm_bytes_per_s)
     r2 = roofline(c2, 1.0, precision="default")
     assert r2["bound"] == "hbm"
+    # Both engines in the 40%+ band: the balanced near-roofline regime
+    # (the 801^2 64-RHS HIGHEST sweeps land here).
+    c4 = StageCost(0.45 * V5E.peak_bf16_flops / 6, 0.0,
+                   bytes_hbm=0.45 * V5E.hbm_bytes_per_s)
+    assert roofline(c4, 1.0)["bound"] == "balanced (mxu+hbm)"
     # Both engines far from peak: the latency/serial-chain regime.
     c3 = StageCost(1e9, 1e9, 1e6)
     r3 = roofline(c3, 1.0)

@@ -249,11 +249,12 @@ def roofline(cost: StageCost, time_s: float, precision: str = "highest",
             possible at its numerical precision, counting MXU flops only.
         gbs: achieved HBM GB/s; hbm_frac: fraction of HBM peak.
         bound: the named binding constraint — "mxu" / "hbm" when the
-            respective utilization exceeds 50%, else
+            respective utilization exceeds 50%, "balanced (mxu+hbm)" when
+            both sit in the 40%+ band (e.g. the 801^2 64-RHS sweeps), else
             "latency/serial-chain" (the regime where neither engine is
             near peak because per-step issue latency or the sequential
             row recurrence dominates — the measured story at 301^2,
-            PERF_NOTES rounds 1-3).
+            PERF_NOTES rounds 1-4).
     """
     passes = PRECISION_PASSES[precision]
     tflops = cost.flops / time_s / 1e12
@@ -261,7 +262,9 @@ def roofline(cost: StageCost, time_s: float, precision: str = "highest",
     mfu_adj = (cost.flops_mxu / time_s) / (chip.peak_bf16_flops / passes)
     gbs = cost.bytes_hbm / time_s / 1e9
     hbm_frac = cost.bytes_hbm / time_s / chip.hbm_bytes_per_s
-    if mfu_adj >= 0.5 and mfu_adj >= hbm_frac:
+    if mfu_adj >= 0.4 and hbm_frac >= 0.4:
+        bound = "balanced (mxu+hbm)"
+    elif mfu_adj >= 0.5 and mfu_adj >= hbm_frac:
         bound = "mxu"
     elif hbm_frac >= 0.5:
         bound = "hbm"
