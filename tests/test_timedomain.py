@@ -276,3 +276,20 @@ class TestTimeDomainAcquisition:
         import pytest
         with pytest.raises(ValueError):
             direct_arrival_gate(td, pre=30e-6, post=30e-6, taper=2e-6)
+
+
+def test_save_time_animation(tmp_path):
+    """Animated wavefield playback (reference: TimeDomainSimulation.m:58-91
+    renders a live imagesc movie; the framework writes it to a GIF)."""
+    from waveforminversionust_tpu import viz
+
+    grid = Grid2D.centered(12e-3, 1.0e-3)
+    vel = np.full(grid.shape, 1500.0, np.float32)
+    res = simulate_time_domain(
+        vel, grid, element_idx=0, f_low=0.2e6, f_high=0.4e6, df=0.05e6,
+        nt=8, num_elements=8, radius=9e-3,
+        solver=SolverConfig(pml=PMLConfig(l_pml=2e-3)))
+    out = str(tmp_path / "wave.gif")
+    viz.save_time_animation(grid, res, out, fps=5, max_frames=6)
+    data = open(out, "rb").read()
+    assert data[:6] in (b"GIF87a", b"GIF89a") and len(data) > 1000

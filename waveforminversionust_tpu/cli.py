@@ -243,6 +243,9 @@ def _cmd_timedomain(args):
     if args.plot:
         viz.plot_time_snapshots(grid, res, path=args.plot)
         print("plot written to", args.plot)
+    if args.gif:
+        viz.save_time_animation(grid, res, args.gif)
+        print("animation written to", args.gif)
 
 
 def _cmd_broadband(args):
@@ -545,6 +548,10 @@ def main(argv=None):
     pt.add_argument("--element", type=int, default=64)
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--plot", default=None)
+    pt.add_argument("--gif", default=None, metavar="OUT.gif",
+                    help="write the animated wavefield playback (the "
+                         "reference's live imagesc movie, "
+                         "TimeDomainSimulation.m:58-91, as a file)")
     pt.set_defaults(fn=_cmd_timedomain)
 
     pbb = sub.add_parser(

@@ -145,6 +145,51 @@ def plot_time_snapshots(grid: Grid2D, result, n_frames: int = 6,
     return fig
 
 
+def save_time_animation(grid: Grid2D, result, path: str, fps: int = 15,
+                        max_frames: int = 120):
+    """Animated wavefield playback (reference: TimeDomainSimulation.m:58-91
+    and SimulateData.m:39-52 render live `imagesc` movies; this writes the
+    same film to a GIF so it survives headless runs).
+
+    Per-frame normalization matches the reference's `imagesc(..., [-1 1] *
+    max(abs(frame)))` behavior: the propagating front stays visible as the
+    field geometrically spreads.
+
+    Args:
+        result: a :class:`~.data.timedomain.TimeDomainResult`.
+        path: output file; ``.gif`` (Pillow writer, always available).
+        max_frames: stride long simulations down to this many frames.
+    """
+    from matplotlib import animation
+
+    nt = result.wavefields_t.shape[0]
+    picks = (np.arange(nt) if nt <= max_frames
+             else np.linspace(0, nt - 1, max_frames).astype(int))
+    frames = [as_numpy_complex(result.wavefields_t[t]).real for t in picks]
+
+    fig, ax = plt.subplots(figsize=(4.4, 4.2))
+    scale0 = max(np.abs(frames[0]).max(), 1e-30)
+    im = ax.imshow(frames[0], cmap="gray", vmin=-scale0, vmax=scale0,
+                   extent=[grid.x[0] * 1e3, grid.x[-1] * 1e3,
+                           grid.y[-1] * 1e3, grid.y[0] * 1e3])
+    ax.set_xlabel("x [mm]")
+    ax.set_ylabel("y [mm]")
+    title = ax.set_title("")
+
+    def draw(i):
+        frame = frames[i]
+        scale = max(np.abs(frame).max(), 1e-30)
+        im.set_data(frame)
+        im.set_clim(-scale, scale)
+        title.set_text(f"t = {result.times[picks[i]] * 1e6:.1f} us")
+        return [im, title]
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(frames), blit=False)
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def make_live_plot_callback(outdir: str, grid: Grid2D, true_map=None,
                             true_grid: Grid2D | None = None,
                             overwrite: bool = True):
