@@ -79,7 +79,10 @@ def test_make_apply_cpx_gating():
     from waveforminversionust_tpu.ops.solve import _use_fused_apply
 
     assert fused_apply_fits(301, 301)
-    assert fused_apply_fits(801, 801)
+    assert fused_apply_fits(601, 601)
+    assert fused_apply_fits(704, 704)   # measured VMEM boundary (round 4)
+    assert not fused_apply_fits(736, 736)
+    assert not fused_apply_fits(801, 801)
     assert not fused_apply_fits(1024, 1024)
     assert not _use_fused_apply(SolverConfig(fused_apply="off"), 301, 301)
     assert _use_fused_apply(SolverConfig(fused_apply="on"), 301, 301)

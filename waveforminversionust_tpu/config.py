@@ -183,23 +183,27 @@ class SolverConfig:
     # Frozen-factor CG: with refactor_every = K > 1 the CG loop runs the
     # banded factorization (the dominant in-loop cost: ~32 ms of ~52 at
     # 301^2) only on iterations where it % K == 0 and reuses the previous
-    # G blocks in between — the velocity moves ~1%/iteration on the
-    # reference workload, so the stale G stays an excellent approximate
-    # inverse of the CURRENT operator (the sweep recurrences always use
-    # the current coefficient planes; only G is stale). On stale
+    # factor in between — the velocity moves ~1%/iteration on the
+    # reference workload, so the stale factorization stays an excellent
+    # approximate inverse of the CURRENT operator. The reused factor is
+    # FULLY stale (G blocks and sweep planes from the same factorization:
+    # a consistent, stable elimination — mixing stale G with current
+    # planes overflows f32 beyond ~600 rows; PERF_NOTES round 4). On stale
     # iterations the forward and adjoint solves take one extra iterative-
     # refinement pass against the current operator when stale_refine is
     # set (the line-search solve feeds only a first-order scalar step and
     # is never refined). CG-loop only (nonlinear_cg / invert_dataset),
     # split-complex banded method, not with factorization="spike".
-    # Default 1 (off): see PERF_NOTES round 3 for the measured (K,
-    # refine) -> s/iter / RMSE trade-off before enabling.
+    # Default 1 (off): see PERF_NOTES rounds 3-4 for the measured (K,
+    # refine) -> s/iter / RMSE trade-offs; pays at 301^2-class grids,
+    # rejected at 601^2 (factor is a smaller cost share than the extra
+    # refinement there).
     refactor_every: int = 1
     stale_refine: bool = True
     # Fused 9-point operator application (ops.pallas_stencil
     # .h_apply_pallas_cpx) for the banded refinement passes and GMRES
     # matvecs: "auto" = on off-CPU when the whole-field kernel fits VMEM
-    # (<= ~801^2; ops.pallas_stencil.fused_apply_fits), "on" = force,
+    # (<= 704^2, measured; ops.pallas_stencil.fused_apply_fits), "on" = force,
     # "off" = the jnp apply (which materializes nine shifted field copies
     # per component — ~9x the HBM traffic; utils.flops.h_apply_cost).
     fused_apply: str = "auto"

@@ -131,11 +131,11 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
     With ``solver.refactor_every == K > 1`` (frozen-factor CG) the scan
     carry additionally holds the banded factor: the factorization runs only
     when ``it % K == 0`` (and at the first iteration of every scan, so
-    resumed chunks never run on the zero-initialized carry) and the stale
-    G blocks are reused in between. The sweeps always read the CURRENT
-    coefficient planes (only G is stale), and the forward/adjoint solves
-    take one refinement pass against the current operator on stale
-    iterations when ``solver.stale_refine`` is set."""
+    resumed chunks never run on the zero-initialized carry) and the whole
+    stale factor (G blocks + its own sweep planes, a consistent stable
+    elimination) is reused in between; the forward/adjoint solves take one
+    refinement pass against the CURRENT operator on stale iterations when
+    ``solver.stale_refine`` is set (refine_coeffs in ops.solve)."""
     from .regularization import make_cg_regularizer
     regularize = make_cg_regularizer(grid, fwi)
 
@@ -178,8 +178,14 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         if frozen:
             # Frozen-factor path: rebuild the (cheap) coefficient planes
             # every iteration, run the (expensive) factorization only every
-            # K-th; the stale G + current planes remain an approximate
-            # inverse of the CURRENT operator (only G is stale).
+            # K-th. The factor stays FULLY stale in between (G panels and
+            # sweep planes from the same factorization — a consistent,
+            # stable elimination of the previous operator, M = H_prev^-1);
+            # the refinement passes target the CURRENT planes via
+            # refine_coeffs so stale solves correct toward H(vel). Mixing
+            # stale G with current sweep planes is not a factorization of
+            # anything: its row recurrences compound and overflow f32 at
+            # 601 rows (measured, PERF_NOTES round 4).
             coeffs = helmholtz_coefficients_cpx(
                 vel, grid, data.f, solver.pml, solver.stencil,
                 attenuation=data.attenuation, pml_fields=pml_fields)
@@ -187,7 +193,6 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             factor = jax.lax.cond(do_factor,
                                   lambda: _factor_cpx(coeffs, solver),
                                   lambda: factor_prev)
-            factor = factor._replace(coeffs=coeffs)
             op = HelmholtzOperator(vel=vel,
                                    f=jnp.asarray(data.f, jnp.float32),
                                    coeffs=coeffs, precond=None,

@@ -93,10 +93,13 @@ def _apply_planes(cre, cim, ure, uim, interpret: bool):
 
 
 # Whole-field kernel VMEM budget: 18 coefficient planes + in/out field pair
-# + the 2 halo scratches, all f32 — ~(18 + 4 + 2) * 4 bytes per grid point.
-# Gate "auto" below the 100 MB compiler limit with margin; beyond it the
-# jnp apply (ops.apply) takes over (a y-tiled kernel would lift this).
-_FUSED_APPLY_MAX_PIX = 700_000  # 801^2 = 641k fits; 1024^2 = 1.05M does not
+# + the 2 halo scratches, all f32. The naive ~(18 + 4 + 2) * 4 B/point
+# estimate undercounts ~2x (Mosaic double-buffers the per-step blocks):
+# measured on the real chip (round 4), 704^2 (495k px) compiles, 736^2
+# (541k px) fails VMEM (118.8 MB > 100 MB limit at 801^2). Gate "auto" at
+# the measured boundary; beyond it the jnp apply (ops.apply) takes over
+# (a y-tiled kernel would lift this).
+_FUSED_APPLY_MAX_PIX = 500_000  # 704^2 = 495k fits (measured); 736^2 does not
 
 
 def fused_apply_fits(ny: int, nx: int) -> bool:

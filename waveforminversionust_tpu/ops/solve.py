@@ -596,8 +596,20 @@ def _make_apply_cpx(coeffs: Cpx, cfg: SolverConfig, adjoint: bool = False):
 
 def _banded_solve_refined_cpx(factor, rhs: Cpx,
                               cfg: SolverConfig, adjoint: bool,
-                              precision=None, extra_refine=None) -> Cpx:
-    opfn = _make_apply_cpx(factor.coeffs, cfg, adjoint=adjoint)
+                              precision=None, extra_refine=None,
+                              refine_coeffs: Cpx | None = None) -> Cpx:
+    """Banded solve + iterative refinement.
+
+    ``refine_coeffs``: operator planes the refinement residual targets;
+    defaults to the factor's own planes. The frozen-factor CG passes the
+    CURRENT iteration's planes here while the factor (G panels AND sweep
+    planes) stays consistently stale — mixing stale G with current sweep
+    planes is NOT a factorization of anything and its forward/backward row
+    recurrences compound a per-row gain that overflows f32 at 601 rows
+    (measured: loss=nan on every stale iteration of the 601^2 inversion,
+    fine at 301^2; PERF_NOTES round 4)."""
+    opfn = _make_apply_cpx(factor.coeffs if refine_coeffs is None
+                           else refine_coeffs, cfg, adjoint=adjoint)
     if isinstance(factor, CRFactor):
         base = cr_solve_cpx
     elif (jax.default_backend() != "cpu" and factor.sweeps is None):
@@ -705,7 +717,8 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
             u = _banded_solve_refined_cpx(op.factor, rhs, cfg,
                                           adjoint=adjoint,
                                           precision=precision,
-                                          extra_refine=extra_refine)
+                                          extra_refine=extra_refine,
+                                          refine_coeffs=op.coeffs)
         if adjoint:
             u = cpxlib.scale(u, op.d_map)
     elif cfg.method == SolverMethod.GMRES:
