@@ -199,6 +199,30 @@ def test_cli_broadband3d_encoded_scattered(capsys):
     assert "reconstruction RMSE vs phantom" in out
 
 
+def test_cli_qc_compensate(tmp_path, capsys):
+    """`run --qc-compensate` applies reciprocity QC + per-element response
+    compensation in-line (the turnkey form of `qc --out` then `run`; with
+    --calibrate this is the quality-record intake chain)."""
+    from waveforminversionust_tpu.cli import main
+    data_path = str(tmp_path / "tiny.mat")
+    main(["simulate", data_path, "--xmax", "12e-3", "--dx", "0.4e-3",
+          "--elements", "16", "--radius", "9e-3", "--frequency", "200e3"])
+    main(["run", data_path, "--qc-compensate", "--iterations", "1",
+          "--grid-xmax", "12e-3", "--grid-dx", "0.8e-3",
+          "--elements", "16", "--radius", "9e-3", "--exclude", "2",
+          "--out", str(tmp_path / "vel_qc.npy")])
+    out = capsys.readouterr().out
+    assert "qc: reciprocity asymmetry" in out
+    # the synthesizer's random element amplitudes are the asymmetry source;
+    # compensation must land well below the raw value
+    import re
+    m = re.search(r"asymmetry ([\d.eE+-]+) -> ([\d.eE+-]+)", out)
+    assert m and float(m.group(2)) < 0.1 * float(m.group(1))
+    import numpy as np
+    v = np.load(tmp_path / "vel_qc.npy")
+    assert v.shape == (31, 31) and np.all(np.isfinite(v))
+
+
 def test_cli_gauss_newton_method(tmp_path):
     """`run --method gn` drives the Gauss-Newton optimizer from the CLI."""
     from waveforminversionust_tpu.cli import main

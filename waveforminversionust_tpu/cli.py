@@ -105,6 +105,19 @@ def _cmd_run(args):
     from . import viz
 
     ds = load_recorded_dataset(args.data)
+    if args.qc_compensate:
+        # Reciprocity QC + per-element response compensation (data.qc) —
+        # equalizes the synthesizer's random |a_t| shot weighting before
+        # calibration/inversion. Stacks with --calibrate into the measured
+        # quality-record intake chain (PERF_NOTES round 3: 15.09 -> 4.20
+        # m/s on the reference dataset with bilinear + illumination).
+        from .data.qc import compensate_reciprocity, qc_report
+        rep = qc_report(ds.rec_data, exclude_each_side=args.exclude)
+        print(f"qc: reciprocity asymmetry {rep.asymmetry_raw:.3g} -> "
+              f"{rep.asymmetry_compensated:.3g}; bad channels: "
+              f"{rep.bad_elements.tolist() or 'none'}")
+        ds = ds._replace(rec_data=compensate_reciprocity(ds.rec_data,
+                                                         rep.ratios))
     grid = None
     if args.grid_xmax:
         grid = Grid2D.centered(args.grid_xmax, args.grid_dx)
@@ -474,6 +487,12 @@ def main(argv=None):
                     help="calibrate the background (water) speed from the "
                          "data before inverting (overrides --c-init with "
                          "the projected-misfit minimum; fwi.calibrate)")
+    pr.add_argument("--qc-compensate", action="store_true",
+                    help="run reciprocity QC on the data matrix and divide "
+                         "out the estimated per-element response ratios "
+                         "before inverting (data.qc; with --calibrate this "
+                         "is the measured quality-record intake chain, "
+                         "PERF_NOTES round 3)")
     pr.add_argument("--momentum", type=int, default=4,
                     help="0=GD 1=FR 2=PR 3=PR^FR 4=HS")
     pr.add_argument("--step-formula", type=int, default=1, help="1|2|3")
