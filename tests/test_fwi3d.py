@@ -246,6 +246,46 @@ def test_tiny_3d_gmres_inversion_reduces_misfit():
     assert float(v_gm[c]) > C0
 
 
+def test_tiny_3d_gmres_warm_start_matches_cold():
+    """warm_start carries each solve's field into the next iteration's
+    GMRES as x0 (RHS-normalized). The solves still converge to the same
+    gmres_tol, so the trajectory is tolerance-equivalent to cold starts:
+    finite, comparably decreasing loss and a matching final model. Also
+    pins the chunked path (the warm carries thread through the chunk
+    boundary inside the scan state) and the validation errors."""
+    grid, acq, vel_true, data = _problem()
+    data = data._replace(src=cpx.scale(data.src, 1e6),
+                         rec_obs=cpx.scale(data.rec_obs, 1e6))
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=4, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    kw = dict(pml=PML, iter_cap=ITER_CAP, solver3d="gmres", gmres_tol=1e-4)
+    v_cold, m_cold = nonlinear_cg_3d(vel0, data, grid, fwi,
+                                     warm_start=False, **kw)
+    v_warm, m_warm = nonlinear_cg_3d(vel0, data, grid, fwi,
+                                     warm_start=True, **kw)
+    l_cold, l_warm = np.asarray(m_cold.loss), np.asarray(m_warm.loss)
+    assert np.all(np.isfinite(l_warm))
+    assert l_warm[-1] < 0.7 * l_warm[0], l_warm
+    # tolerance-equivalent, not bit-identical: same loss scale throughout
+    np.testing.assert_allclose(l_warm, l_cold, rtol=0.15)
+    err = np.abs(np.asarray(v_warm) - np.asarray(v_cold)).max()
+    assert err < 1.0, err  # m/s, on a 40 m/s anomaly
+    # chunked run threads the warm carries exactly through the boundary
+    v_ch, m_ch = nonlinear_cg_3d(vel0, data, grid, fwi, warm_start=True,
+                                 chunk_iterations=2, **kw)
+    np.testing.assert_allclose(np.asarray(m_ch.loss), l_warm, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_ch), np.asarray(v_warm),
+                               atol=1e-2)
+    # invalid combinations are rejected eagerly
+    with pytest.raises(ValueError, match="gmres"):
+        nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML, iter_cap=50,
+                        warm_start=True)
+    with pytest.raises(ValueError, match="encode"):
+        nonlinear_cg_3d(vel0, data, grid, fwi, warm_start=True,
+                        encode=2, **kw)
+
+
 def test_3d_custom_vjp_gradient_matches_fd():
     """jax.grad through the differentiable 3D Born solve
     (ops.born3d.born_solve_3d_diff custom VJP = one adjoint solve) matches

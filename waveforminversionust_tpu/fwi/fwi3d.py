@@ -201,12 +201,47 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
                    spectral=spectral)
 
 
+def _rhs_norm(rhs: Cpx):
+    return jnp.sqrt(jnp.sum(rhs.re ** 2) + jnp.sum(rhs.im ** 2))
+
+
+def _warm_x0(carry: Cpx | None, rhs: Cpx) -> Cpx | None:
+    """GMRES initial guess from an RHS-normalized warm carry.
+
+    The carry stores the previous solution per unit RHS norm
+    (:func:`_warm_carry`), so rescaling by the CURRENT RHS norm keeps the
+    guess well-scaled even when the right-hand side's magnitude drifts
+    between outer iterations (the adjoint source shrinks with the
+    residual; the line-search source scales with the gradient). The very
+    first iteration carries zeros — identical to a cold start up to one
+    extra residual matvec.
+    """
+    if carry is None:
+        return None
+    return cpx.scale(carry, _rhs_norm(rhs))
+
+
+def _warm_carry(sol: Cpx, rhs: Cpx) -> Cpx:
+    """Store ``sol`` normalized per unit RHS norm; zeros if non-finite.
+
+    The non-finite guard matters: a NaN carry would otherwise poison the
+    next iteration's GMRES (its per-lane NaN-freeze keeps the ITERATE
+    safe but would return the NaN x0 unchanged), turning one bad solve
+    into a permanently cold — or dead — warm-start chain.
+    """
+    n = _rhs_norm(rhs)
+    out = cpx.scale(sol, jnp.where(n > 0, 1.0 / n, 0.0))
+    tot = jnp.sum(out.re ** 2) + jnp.sum(out.im ** 2)
+    ok = jnp.isfinite(tot)
+    return Cpx(jnp.where(ok, out.re, 0.0), jnp.where(ok, out.im, 0.0))
+
+
 def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
                         pml: PMLConfig, iter_cap: int,
                         estimate_source: bool = True,
                         fwi_precondition=None,
                         fwi_precondition_eps: float = 1e-2,
-                        solve=None):
+                        solve=None, warm=None):
     """One forward + one adjoint solve -> (loss, gradient, virt, rec_sim).
 
     The same adjoint-state identity as 2D (reference: nonlinearcg.py:118-127)
@@ -215,11 +250,24 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     pseudo-Hessian scaling as the 2D loop (illumination summed over the
     transmit batch; see objective.illumination_map). ``solve`` overrides
     the Helmholtz solver (see :func:`_make_solve_3d`).
+
+    ``warm``: optional pair of RHS-normalized warm carries (forward,
+    adjoint) from the previous outer iteration (see :func:`_warm_carry`).
+    Requires a solver that accepts ``x0`` (``solver3d="gmres"``). When
+    set, the return gains a fifth element — the updated carries
+    ``(fwd, adj)`` — and the solves start from the previous iteration's
+    fields instead of zero, which cuts the dependent-matvec chain that
+    dominates 3D wall-clock (PERF_NOTES round 4).
     """
     if solve is None:
         solve = _make_solve_3d(grid, pml, iter_cap)
-    wv, _ = solve(vel, data.src, data.f,
-                  attenuation=data.attenuation)
+    if warm is not None:
+        wv, _ = solve(vel, data.src, data.f, attenuation=data.attenuation,
+                      x0=_warm_x0(warm[0], data.src))
+    else:
+        wv, _ = solve(vel, data.src, data.f,
+                      attenuation=data.attenuation)
+    wv_raw = wv
     rec_sim = sample_receivers_3d(wv, data.rx_idx)
     if data.rec_ref is not None:
         # Scattered-field mode: subtract the background receiver field
@@ -238,8 +286,13 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     loss = misfit(rec_sim, data.rec_obs)
 
     adj_src = scatter_to_volumes_3d(residual, data.rx_idx, grid.shape)
-    adj_wv, _ = solve(vel, adj_src, data.f, adjoint=True,
-                      attenuation=data.attenuation)
+    if warm is not None:
+        adj_wv, _ = solve(vel, adj_src, data.f, adjoint=True,
+                          attenuation=data.attenuation,
+                          x0=_warm_x0(warm[1], adj_src))
+    else:
+        adj_wv, _ = solve(vel, adj_src, data.f, adjoint=True,
+                          attenuation=data.attenuation)
     omega = 2 * jnp.pi * data.f
     # Lossy Frechet factor dk^2/dslow = 2 omega (omega slow + i sgn alpha)
     # — identical to the 2D objective.virtual_source.
@@ -255,6 +308,10 @@ def objective_pieces_3d(vel, slow, data: FWIData3D, grid: Grid3D,
     if fwi_precondition == "illumination":
         grad = precondition_gradient(grad, illumination_map(wv),
                                      fwi_precondition_eps)
+    if warm is not None:
+        warm_new = (_warm_carry(wv_raw, data.src),
+                    _warm_carry(adj_wv, adj_src))
+        return loss, grad, virt, rec_sim, warm_new
     return loss, grad, virt, rec_sim
 
 
@@ -267,7 +324,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     gmres_tol: float = 2e-3, gmres_restart: int = 8,
                     spectral: str = "auto", encode: int | None = None,
                     encode_seed: int = 0,
-                    chunk_iterations: int | None = None):
+                    chunk_iterations: int | None = None,
+                    warm_start: bool | str = "auto"):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
 
     ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
@@ -296,6 +354,20 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     With ``fwi.estimate_source_strength`` the fitted scale is per
     SUPERSHOT — calibrate unknown per-element amplitudes beforehand.
 
+    ``warm_start``: carry each of the three per-iteration solves' fields
+    (forward / adjoint / line-search) through the scan as the NEXT
+    iteration's GMRES initial guess — the model moves a few percent per
+    CG step, so consecutive solves share most of their solution and the
+    Krylov iteration only has to close the gap. Carries are stored
+    RHS-normalized with a non-finite guard (:func:`_warm_carry`), so
+    shrinking residuals and a rejected step cannot de-scale or poison
+    the chain. ``"auto"`` (default) enables it exactly where it is
+    valid: ``solver3d="gmres"``, single-device, no source encoding
+    (encoding redraws the sources every iteration, so the previous
+    field is not a guess for anything). Solves stay within ``gmres_tol``
+    of the cold-start solves, so the trajectory is tolerance-equivalent,
+    not bit-identical. Measured effect: PERF_NOTES round 4.
+
     ``chunk_iterations=k``: run the scan as ceil(n/k) separate jitted
     programs with exact carry passthrough (identical trajectory — the
     carry is (vel, slow, sd, grad_prev) and the global iteration index
@@ -307,6 +379,19 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
 
     Returns (velocity (nz, ny, nx), CGMetrics history).
     """
+    if warm_start == "auto":
+        warm_start = (solver3d == "gmres" and mesh is None and not encode)
+    elif warm_start:
+        if solver3d != "gmres":
+            raise ValueError("warm_start needs solver3d='gmres' (the CBS "
+                             "fixed-point solver takes no initial guess)")
+        if mesh is not None:
+            raise ValueError("warm_start is single-device only (the "
+                             "sharded GMRES takes no x0)")
+        if encode:
+            raise ValueError("warm_start is incompatible with encode=: "
+                             "the sources are redrawn every iteration")
+    warm_start = bool(warm_start)
     if encode:
         # Encoding is only exact-in-expectation over a shared receiver
         # set (see encode_supershots). Validate here, OUTSIDE the jitted
@@ -322,10 +407,13 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     kw = dict(grid=grid, fwi=fwi, pml=pml, iter_cap=iter_cap, mesh=mesh,
               grid_axis=grid_axis, solver3d=solver3d, gmres_tol=gmres_tol,
               gmres_restart=gmres_restart, spectral=spectral, encode=encode,
-              encode_seed=encode_seed)
+              encode_seed=encode_seed, warm_start=warm_start)
     vel0 = jnp.asarray(vel_init, jnp.float32)
     zeros = jnp.zeros(grid.shape, jnp.float32)
     state = (vel0, 1.0 / vel0, zeros, zeros)
+    if warm_start:
+        zf = Cpx(jnp.zeros_like(data.src.re), jnp.zeros_like(data.src.im))
+        state = state + ((zf, zf, zf),)
     if chunk_iterations is None or chunk_iterations >= n_iter:
         state, metrics = _nonlinear_cg_3d_jit(
             state, data, num_iterations=n_iter, it0=jnp.int32(0), **kw)
@@ -345,14 +433,16 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
 @partial(jax.jit, static_argnames=("grid", "fwi", "num_iterations",
                                    "pml", "iter_cap", "mesh", "grid_axis",
                                    "solver3d", "gmres_tol", "gmres_restart",
-                                   "spectral", "encode", "encode_seed"))
+                                   "spectral", "encode", "encode_seed",
+                                   "warm_start"))
 def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
                          pml, iter_cap, mesh, grid_axis, solver3d,
                          gmres_tol, gmres_restart, spectral, encode,
-                         encode_seed, it0):
+                         encode_seed, it0, warm_start=False):
     """One scan of ``num_iterations`` CG steps from ``state`` = (vel,
-    slow, search_dir, grad_prev), global iteration indices starting at the
-    TRACED ``it0`` (so every chunk of a chunked run reuses one program)."""
+    slow, search_dir, grad_prev[, warm-carry Cpx triple]), global
+    iteration indices starting at the TRACED ``it0`` (so every chunk of a
+    chunked run reuses one program)."""
     n_iter = num_iterations
     solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
                            grid_axis=grid_axis, solver3d=solver3d,
@@ -361,7 +451,11 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
     ntx = data.src.re.shape[0]
 
     def step(state, it):
-        vel, slow, sd, gprev = state
+        if warm_start:
+            vel, slow, sd, gprev, warm = state
+        else:
+            vel, slow, sd, gprev = state
+            warm = None
         if encode:
             code = jax.random.rademacher(
                 jax.random.fold_in(jax.random.PRNGKey(encode_seed), it),
@@ -369,12 +463,16 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
             data_it = encode_supershots(data, code)
         else:
             data_it = data
-        loss, grad, virt, rec_sim = objective_pieces_3d(
+        pieces = objective_pieces_3d(
             vel, slow, data_it, grid, pml, iter_cap,
             estimate_source=fwi.estimate_source_strength,
             fwi_precondition=fwi.precondition,
             fwi_precondition_eps=fwi.precondition_eps,
-            solve=solve)
+            solve=solve, warm=None if warm is None else warm[:2])
+        if warm is None:
+            loss, grad, virt, rec_sim = pieces
+        else:
+            loss, grad, virt, rec_sim, warm_fa = pieces
 
         beta = _momentum(fwi.momentum, it, grad, gprev, sd,
                          fwi.eps_stabilizer)
@@ -383,8 +481,13 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
         # Linearized line search: third solve with the perturbation source
         # -virt * sd (reference: nonlinearcg.py:140-159).
         pert_src = cpx.mul(virt, Cpx(-sd_new[None], jnp.zeros_like(sd_new)[None]))
-        pert, _ = solve(vel, pert_src, data_it.f,
-                        attenuation=data_it.attenuation)
+        if warm is None:
+            pert, _ = solve(vel, pert_src, data_it.f,
+                            attenuation=data_it.attenuation)
+        else:
+            pert, _ = solve(vel, pert_src, data_it.f,
+                            attenuation=data_it.attenuation,
+                            x0=_warm_x0(warm[2], pert_src))
         drec = sample_receivers_3d(pert, data_it.rx_idx)
         # Full 3-formula step matrix, shared with the 2D loop (reference:
         # FrequencyDomainFWI.m:42-45, 149-172).
@@ -407,7 +510,11 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
 
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
-        return (vel_new, slow_new, sd_new, grad), metrics
+        new_state = (vel_new, slow_new, sd_new, grad)
+        if warm is not None:
+            new_state = new_state + (
+                (warm_fa[0], warm_fa[1], _warm_carry(pert, pert_src)),)
+        return new_state, metrics
 
     state, metrics = jax.lax.scan(step, state, it0 + jnp.arange(n_iter))
     return state, metrics
