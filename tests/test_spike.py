@@ -142,6 +142,55 @@ def test_spike_cg_matches_single_device():
                                np.asarray(ref.metrics.step_size), rtol=1e-3)
 
 
+def test_spike_cg_shot_grid_mesh_matches_single_device():
+    """Shot data parallelism COMPOSED with the grid decomposition: the
+    full CG inversion on a 2x4 ("shot", "grid") mesh — transmit batch
+    sharded over "shot", SPIKE rows over "grid" (spike_solve
+    batch_axis, auto-detected from the mesh by helmholtz_operator_solve)
+    — matches the single-device trajectory. This is the 2D analog of a
+    production (dp x model-parallel) mesh: each shot group runs its own
+    RHS shard against a shot-replicated factor, and GSPMD places the
+    cross-shot gradient/misfit reductions."""
+    import dataclasses
+
+    from waveforminversionust_tpu import AcquisitionConfig, FWIConfig
+    from waveforminversionust_tpu.data.synthesize import synthesize_ring_dataset
+    from waveforminversionust_tpu.fwi.objective import build_fwi_data
+    from waveforminversionust_tpu.fwi.optimizers import nonlinear_cg
+    from waveforminversionust_tpu.models.acquisition import \
+        build_ring_acquisition
+    from waveforminversionust_tpu.parallel.sharding import (
+        shard_fwi_data_shot_grid, shot_grid_mesh)
+
+    grid = Grid2D.centered(12e-3, 0.8e-3, ymax=25.2e-3)  # ny=64, nx=31
+    acq_cfg = AcquisitionConfig(num_elements=8, radius=9e-3,
+                                num_excluded_each_side=1)
+    cfg = SolverConfig(split_complex=True, pml=PMLConfig(l_pml=2.4e-3))
+    vel_true = smooth_blob_phantom(grid, radius=5e-3, dc=30)
+    ds = synthesize_ring_dataset(vel_true, grid, acq_cfg, f=F, solver=cfg,
+                                 seed=3)
+    acq = build_ring_acquisition(grid, acq_cfg, x_elem=ds.x_circ,
+                                 y_elem=ds.y_circ)
+    data = build_fwi_data(acq, ds.rec_data, F, split=True)
+    assert data.src.re.shape[0] == 8  # 8 tx over shot=2
+    fwi = FWIConfig(num_iterations=2)
+    vel0 = jnp.full(grid.shape, 1500.0, jnp.float32)
+
+    ref = nonlinear_cg(vel0, data, grid, cfg, fwi)
+
+    mesh = shot_grid_mesh(2, 4, devices=jax.devices()[:8])
+    cfg_sp = dataclasses.replace(cfg, factorization="spike")
+    data_sh = shard_fwi_data_shot_grid(data, mesh)
+    sp = nonlinear_cg(vel0, data_sh, grid, cfg_sp, fwi, mesh=mesh)
+
+    v_ref, v_sp = np.asarray(ref.velocity), np.asarray(sp.velocity)
+    assert np.linalg.norm(v_sp - v_ref) / np.linalg.norm(v_ref) < 1e-4
+    np.testing.assert_allclose(np.asarray(sp.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sp.metrics.step_size),
+                               np.asarray(ref.metrics.step_size), rtol=1e-3)
+
+
 @pytest.mark.slow
 def test_spike_cg_beyond_one_chip_grid():
     """A 1024-row-class inversion — the grid size SPIKE exists for — drives

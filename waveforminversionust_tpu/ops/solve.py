@@ -711,8 +711,12 @@ def _operator_solve_split(op: HelmholtzOperator, src, grid: Grid2D,
             # The SPIKE solve is algebraically the same elimination as the
             # block-Thomas path (tests/test_spike.py pins sharded==Thomas to
             # <1e-4), so the refine ladder is unnecessary; cfg.refine is
-            # ignored here.
-            u = spike_solve(op.factor, rhs, mesh, grid_axis, adjoint=adjoint)
+            # ignored here. A mesh axis named "shot" additionally shards
+            # the RHS batch (shot DP composed over the grid decomposition;
+            # parallel.sharding.shot_grid_mesh / shard_fwi_data_shot_grid).
+            batch_axis = "shot" if "shot" in mesh.axis_names else None
+            u = spike_solve(op.factor, rhs, mesh, grid_axis, adjoint=adjoint,
+                            batch_axis=batch_axis)
         else:
             u = _banded_solve_refined_cpx(op.factor, rhs, cfg,
                                           adjoint=adjoint,

@@ -80,6 +80,52 @@ def shot_freq_mesh(n_shot: int, n_freq: int, devices=None) -> Mesh:
                 ("shot", "freq"))
 
 
+def shot_grid_mesh(n_shot: int, n_grid: int, devices=None) -> Mesh:
+    """2D ("shot", "grid") mesh: shot data parallelism composed with grid
+    (y-slab) domain decomposition. The SPIKE direct solve shards its rows
+    over "grid" and its RHS batch over "shot" (each shot group solves its
+    own transmitters against a shot-replicated factor — see
+    parallel.spike.spike_solve(batch_axis=...)); the rest of the CG step
+    is global-view and GSPMD places the cross-shot reductions. Use with
+    ``shard_fwi_data_shot_grid`` and ``nonlinear_cg(mesh=...,
+    SolverConfig(factorization="spike"))`` — the "shot" axis name is
+    auto-detected by the operator solve."""
+    devices = np.array(jax.devices() if devices is None else devices)
+    return Mesh(devices[:n_shot * n_grid].reshape(n_shot, n_grid),
+                ("shot", "grid"))
+
+
+def shard_fwi_data_shot_grid(data: FWIData, mesh: Mesh,
+                             shot_axis: str = "shot",
+                             grid_axis: str = "grid") -> FWIData:
+    """Place FWIData on a ("shot", "grid") mesh: the (ntx, ny, nx) source
+    fields shard over BOTH axes (transmit batch x y-slab rows); the
+    receiver arrays shard over shot; scalars replicate. Requires ntx %
+    mesh.shape[shot_axis] == 0 and ny % mesh.shape[grid_axis] == 0 (the
+    SPIKE slab rule)."""
+    both = NamedSharding(mesh, P(shot_axis, grid_axis))
+    shot = NamedSharding(mesh, P(shot_axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        if x is None:
+            return None
+        if isinstance(x, Cpx):
+            return Cpx(jax.device_put(x.re, sharding),
+                       jax.device_put(x.im, sharding))
+        return jax.device_put(x, sharding)
+
+    return data._replace(
+        src=put(data.src, both),
+        rec_obs=put(data.rec_obs, shot),
+        rx_y=put(data.rx_y, shot),
+        rx_x=put(data.rx_x, shot),
+        rx_w=put(data.rx_w, shot),
+        f=put(data.f, rep),
+        attenuation=put(data.attenuation, rep),
+    )
+
+
 def shard_fwi_data(data: FWIData, mesh: Mesh,
                    axis_name: str = "shot") -> FWIData:
     """Place the shot-batched arrays of FWIData on the mesh, sharded along

@@ -301,15 +301,30 @@ def spike_factor(coeffs: Cpx, mesh: Mesh, axis_name: str = "grid",
 
 
 def spike_solve(factor: SpikeFactor, rhs: Cpx, mesh: Mesh,
-                axis_name: str = "grid", adjoint: bool = False) -> Cpx:
+                axis_name: str = "grid", adjoint: bool = False,
+                batch_axis: str | None = None) -> Cpx:
     """Solve H x = rhs (or H^H x = rhs) with a prepared SPIKE factor.
 
     rhs: (batch, ny, nx) split-complex, sharded (or shardable) over ny.
+
+    ``batch_axis``: name of a SECOND mesh axis to additionally shard the
+    RHS batch over (shot data parallelism composed with the grid
+    decomposition, e.g. a ("shot", "grid") mesh). The SPIKE elimination is
+    independent per right-hand side and all its collectives run over
+    ``axis_name`` only, so each shot group solves its own batch shard
+    against the (grid-sharded, shot-replicated) factor — no cross-shot
+    communication inside the solve. Requires batch % mesh.shape[batch_axis]
+    == 0.
     """
-    spec = Cpx(P(None, axis_name), P(None, axis_name))
+    if batch_axis is not None and rhs.re.shape[0] % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {rhs.re.shape[0]} not divisible by mesh axis "
+            f"'{batch_axis}' of size {mesh.shape[batch_axis]}")
+    spec = Cpx(P(batch_axis, axis_name), P(batch_axis, axis_name))
+    fspec = Cpx(P(None, axis_name), P(None, axis_name))
     factor_specs = SpikeFactor(
         g=Cpx(P(axis_name), P(axis_name)),
-        coeffs_int=spec, w=spec, v=spec, wh=spec, vh=spec,
+        coeffs_int=fspec, w=fspec, v=fspec, wh=fspec, vh=fspec,
         red_g=Cpx(P(), P()), red_sub=Cpx(P(), P()), red_sup=Cpx(P(), P()),
         red_g_h=Cpx(P(), P()), red_sub_h=Cpx(P(), P()),
         red_sup_h=Cpx(P(), P()),
@@ -348,7 +363,8 @@ def spike_helmholtz_factor(vel, f, grid: Grid2D, mesh: Mesh,
 
 def spike_helmholtz_solve(factor: SpikeFactor, src, grid: Grid2D, mesh: Mesh,
                           adjoint: bool = False,
-                          axis_name: str = "grid") -> Cpx:
+                          axis_name: str = "grid",
+                          batch_axis: str | None = None) -> Cpx:
     """Solve H u = src (or H^H u = src) with a prepared grid-sharded factor.
 
     Handles the Dirichlet boundary-row balance exactly like the
@@ -365,7 +381,8 @@ def spike_helmholtz_solve(factor: SpikeFactor, src, grid: Grid2D, mesh: Mesh,
     scale = dirichlet_scale(grid)
     d_map = (1.0 + (scale - 1.0) * boundary_mask(grid)).astype(jnp.float32)
     rhs = src if adjoint else cpx.scale(src, d_map)
-    u = spike_solve(factor, rhs, mesh, axis_name, adjoint=adjoint)
+    u = spike_solve(factor, rhs, mesh, axis_name, adjoint=adjoint,
+                    batch_axis=batch_axis)
     if adjoint:
         u = cpx.scale(u, d_map)
     if single:
