@@ -189,6 +189,43 @@ def test_grid_sharded_3d_cg_gmres_matches_single_device():
     assert rel < 2e-2, rel
 
 
+def test_shot_grid_composed_3d_cg_matches_single_device():
+    """Shot DP composed over the pencil grid decomposition: the full 3D
+    CG on a 2x4 ("shot", "grid") mesh — transmit batch sharded over
+    "shot" (fft3d batch_axis, auto-detected from the mesh name by
+    _make_solve_3d), z-slabs over "grid" — matches the single-device
+    trajectory for BOTH 3D solvers (fixed-point CBS and GMRES-CBS, whose
+    per-shot-group matvec counts are independent)."""
+    import jax.numpy as jnp
+
+    from waveforminversionust_tpu import FWIConfig
+    from waveforminversionust_tpu.fwi.fwi3d import nonlinear_cg_3d
+    from waveforminversionust_tpu.parallel.sharding import (
+        shard_fwi_data_3d_shot_grid, shot_grid_mesh)
+
+    grid, pml, data, C0 = _cg_problem()
+    mesh = shot_grid_mesh(2, 4, devices=jax.devices()[:8])
+    data_sh = shard_fwi_data_3d_shot_grid(data, mesh)
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=2, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0))
+    for kw, rtol in [(dict(), 1e-2),
+                     (dict(solver3d="gmres", gmres_tol=1e-4,
+                           gmres_restart=8), 2e-2)]:
+        v_ref, m_ref = nonlinear_cg_3d(vel0, data, grid, fwi, pml=pml,
+                                       iter_cap=500, warm_start=False, **kw)
+        v_sh, m_sh = nonlinear_cg_3d(vel0, data_sh, grid, fwi, pml=pml,
+                                     iter_cap=500, mesh=mesh, **kw)
+        loss_ref, loss_sh = np.asarray(m_ref.loss), np.asarray(m_sh.loss)
+        assert loss_ref[-1] < 0.5 * loss_ref[0], (kw, loss_ref)
+        np.testing.assert_allclose(loss_sh, loss_ref, rtol=rtol)
+        dv_ref = np.asarray(v_ref) - C0
+        dv_sh = np.asarray(v_sh) - C0
+        rel = (np.linalg.norm(dv_sh - dv_ref)
+               / max(np.linalg.norm(dv_ref), 1e-30))
+        assert rel < 2e-2, (kw, rel)
+
+
 @pytest.mark.parametrize("mode", ["lossless", "lossy"])
 def test_sharded_gmres_born3d_matches_unsharded(mode):
     """born_gmres_solve_3d_sharded (psum-reduced Arnoldi dots inside the

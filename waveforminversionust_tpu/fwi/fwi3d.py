@@ -189,16 +189,20 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
                            restart=gmres_restart, spectral=spectral)
         return partial(born_series_solve_3d, grid=grid, pml=pml,
                        iter_cap=iter_cap, spectral=spectral)
+    # A mesh axis named "shot" additionally shards the transmit batch
+    # (shot DP composed over the pencil grid decomposition; see
+    # parallel.sharding.shot_grid_mesh / shard_fwi_data_3d_shot_grid).
+    batch_axis = "shot" if "shot" in mesh.axis_names else None
     if solver3d == "gmres":
         from ..parallel.fft3d import born_gmres_solve_3d_sharded
         return partial(born_gmres_solve_3d_sharded, grid=grid, mesh=mesh,
                        pml=pml, maxiter=iter_cap, tol=gmres_tol,
                        restart=gmres_restart, grid_axis=grid_axis,
-                       spectral=spectral)
+                       spectral=spectral, batch_axis=batch_axis)
     from ..parallel.fft3d import born_series_solve_3d_sharded
     return partial(born_series_solve_3d_sharded, grid=grid, mesh=mesh,
                    pml=pml, iter_cap=iter_cap, grid_axis=grid_axis,
-                   spectral=spectral)
+                   spectral=spectral, batch_axis=batch_axis)
 
 
 def _rhs_norm(rhs: Cpx):

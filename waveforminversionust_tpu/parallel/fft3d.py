@@ -302,7 +302,8 @@ def born_series_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
                                  iter_scale: float = 1.0,
                                  attenuation=None,
                                  grid_axis: str = "grid",
-                                 spectral: str = "auto"):
+                                 spectral: str = "auto",
+                                 batch_axis: str | None = None):
     """Grid-sharded 3D CBS Helmholtz solve: drop-in for
     ops.born3d.born_series_solve_3d with volumes z-slab-sharded over
     ``mesh[grid_axis]`` — one nz/P slab per device, two ICI all_to_alls
@@ -312,6 +313,13 @@ def born_series_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
     Args match born_series_solve_3d; ``src`` may be a complex array or a
     Cpx pair, shape (batch, nz, ny, nx). Requires nz % P == 0 and
     ny % P == 0.
+
+    ``batch_axis``: name of a second mesh axis to additionally shard the
+    transmit batch over (shot DP composed with the pencil decomposition;
+    every collective inside the solve runs over ``grid_axis`` only, so
+    shot groups proceed independently). The fixed-point iteration count
+    depends only on the (shot-replicated) velocity, so it stays a
+    replicated scalar.
     """
     nz, ny, nx = grid.shape
     p = mesh.shape[grid_axis]
@@ -319,12 +327,16 @@ def born_series_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
         raise ValueError(f"nz={nz} and ny={ny} must divide the mesh axis "
                          f"{grid_axis!r} size {p} (pencil transpose)")
     src = cpx.of(src)
+    if batch_axis is not None and src.re.shape[0] % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {src.re.shape[0]} not divisible by mesh axis "
+            f"'{batch_axis}' of size {mesh.shape[batch_axis]}")
     f = jnp.asarray(f, jnp.float32)
 
     from ..ops.born3d import _use_dft
 
     vol = P(grid_axis, None, None)
-    batch_vol = P(None, grid_axis, None, None)
+    batch_vol = P(batch_axis, grid_axis, None, None)
     body = partial(_born_local, grid=grid, pml=pml, adjoint=adjoint,
                    n_order=n_order, iter_cap=iter_cap, iter_scale=iter_scale,
                    axis_name=grid_axis,
@@ -347,7 +359,8 @@ def born_gmres_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
                                 tol: float = 2e-3, maxiter: int = 600,
                                 restart: int = 8, attenuation=None,
                                 grid_axis: str = "grid",
-                                spectral: str = "auto"):
+                                spectral: str = "auto",
+                                batch_axis: str | None = None):
     """Grid-sharded Krylov-accelerated 3D CBS solve: drop-in for
     ops.born3d.born_gmres_solve_3d with volumes z-slab-sharded over
     ``mesh[grid_axis]``. Combines the two 3D levers (PERF_NOTES round 3):
@@ -357,6 +370,13 @@ def born_gmres_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
 
     Args match born_gmres_solve_3d. Requires nz % P == 0 and ny % P == 0.
     Returns (wavefield Cpx, matvecs int32).
+
+    ``batch_axis``: name of a second mesh axis to additionally shard the
+    transmit batch over (shot DP composed with the pencil decomposition).
+    All collectives inside the solve run over ``grid_axis`` only, so each
+    shot group converges its own batch shard independently — the matvec
+    count is then PER SHOT GROUP and the second return becomes a
+    (mesh.shape[batch_axis],) int32 array instead of a scalar.
     """
     nz, ny, nx = grid.shape
     p = mesh.shape[grid_axis]
@@ -364,23 +384,46 @@ def born_gmres_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
         raise ValueError(f"nz={nz} and ny={ny} must divide the mesh axis "
                          f"{grid_axis!r} size {p} (pencil transpose)")
     src = cpx.of(src)
+    if batch_axis is not None and src.re.shape[0] % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {src.re.shape[0]} not divisible by mesh axis "
+            f"'{batch_axis}' of size {mesh.shape[batch_axis]}")
     f = jnp.asarray(f, jnp.float32)
 
     from ..ops.born3d import _use_dft
 
     vol = P(grid_axis, None, None)
-    batch_vol = P(None, grid_axis, None, None)
+    batch_vol = P(batch_axis, grid_axis, None, None)
     body = partial(_born_gmres_local, grid=grid, pml=pml, adjoint=adjoint,
                    n_order=n_order, tol=tol, maxiter=maxiter,
                    restart=restart, axis_name=grid_axis,
                    use_dft=_use_dft(grid.shape, spectral))
-    out_specs = (batch_vol, P())
+    if batch_axis is None:
+        out_specs = (batch_vol, P())
+        vma = {}
+    else:
+        # per-shot-group convergence: one matvec count per batch shard
+        body_scalar = body
+
+        def body(*args):
+            u, mv = body_scalar(*args)
+            return u, mv[None]
+
+        out_specs = (batch_vol, P(batch_axis))
+        # The Krylov carries (Hessenberg, residual norms, the while cond)
+        # legitimately VARY over the shot axis — each shot group converges
+        # its own batch shard, and every collective rides grid_axis only,
+        # so the replica groups never cross shot boundaries. The vma
+        # checker cannot express "varying over shot, replicated over
+        # grid" through lax.while_loop/fori_loop carries, so disable it
+        # here (parallel.spike runs check_vma=False for the same reason).
+        vma = {"check_vma": False}
     if attenuation is None:
         fn = shard_map(body, mesh=mesh, in_specs=(vol, batch_vol, P()),
-                       out_specs=out_specs)
+                       out_specs=out_specs, **vma)
         return fn(jnp.asarray(vel, jnp.float32), src, f)
     fn = shard_map(body, mesh=mesh, in_specs=(vol, batch_vol, P(), vol),
-                   out_specs=out_specs)
+                   out_specs=out_specs, **vma)
     return fn(jnp.asarray(vel, jnp.float32), src, f,
               jnp.asarray(attenuation, jnp.float32))
 

@@ -223,3 +223,33 @@ def shard_fwi_data_3d(data, mesh: Mesh, axis_name: str = "shot"):
         rec_ref=(None if data.rec_ref is None
                  else put(data.rec_ref, shot)),
     )
+
+
+def shard_fwi_data_3d_shot_grid(data, mesh: Mesh, shot_axis: str = "shot",
+                                grid_axis: str = "grid"):
+    """Place :class:`~..fwi.fwi3d.FWIData3D` on a ("shot", "grid") mesh:
+    the (ntx, nz, ny, nx) sources shard over BOTH axes (transmit batch x
+    z-slabs); receiver arrays over shot; scalars replicate. Pair with
+    ``nonlinear_cg_3d(mesh=shot_grid_mesh(...))`` — the sharded pencil
+    solvers detect the "shot" axis and shard their RHS batch over it
+    (parallel.fft3d ``batch_axis``). Requires ntx % mesh.shape[shot_axis]
+    == 0 and nz % P == ny % P == 0 (the pencil rule, P =
+    mesh.shape[grid_axis])."""
+    both = NamedSharding(mesh, P(shot_axis, grid_axis))
+    shot = NamedSharding(mesh, P(shot_axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
+        if isinstance(x, Cpx):
+            return Cpx(jax.device_put(x.re, sharding),
+                       jax.device_put(x.im, sharding))
+        return jax.device_put(x, sharding)
+
+    return data._replace(
+        src=put(data.src, both),
+        rec_obs=put(data.rec_obs, shot),
+        rx_idx=put(data.rx_idx, shot),
+        f=put(data.f, rep),
+        rec_ref=(None if data.rec_ref is None
+                 else put(data.rec_ref, shot)),
+    )
