@@ -113,7 +113,12 @@ class SolverConfig:
     # block-Thomas kernel on TPU (whole recurrence + blocked Gauss-Jordan
     # inverses in one kernel, ~2.2x the XLA scan; see ops.pallas_factor),
     # XLA scan elsewhere; "thomas" = the XLA lax.scan block-Thomas;
-    # "pallas" = force the fused kernel; "cr" = block cyclic reduction
+    # "pallas" = force the fused kernel; "twisted" = two-sided (BABE)
+    # elimination from both grid ends toward the middle row — identical
+    # flops to block-Thomas in HALF the dependent grid steps, targeting
+    # the serial-chain latency the roofline table names as the production
+    # binding constraint (ops.twisted / ops.pallas_twisted; fused kernels
+    # off-CPU, XLA scans on CPU); "cr" = block cyclic reduction
     # (ops.cyclic — measured slower end-to-end on the targeted runtime,
     # kept for batched-elimination reference); "spike" = the distributed
     # grid-sharded SPIKE factorization (parallel.spike) — one y-slab per

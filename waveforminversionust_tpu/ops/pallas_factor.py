@@ -216,6 +216,81 @@ def _pivot_gj_folded_ref(pv_ref, bk: int):
     jax.lax.fori_loop(0, bk, step, 0)
 
 
+def _gj_invert_block(g_re_ref, g_im_ref, pv_ref, nxp: int, bk: int,
+                     folded: bool, panel_precision):
+    """In-place blocked Gauss-Jordan inverse of the (nxp, nxp) split-complex
+    matrix already stored in ``g_*_ref[0]`` (the output block doubles as the
+    working buffer; cf. batched_inv.batched_inv, unbatched). Shared by the
+    block-Thomas factor kernel below and the twisted factor kernel
+    (ops/pallas_twisted.py), which runs it twice per grid step."""
+    rows_col = jax.lax.broadcasted_iota(jnp.int32, (nxp, bk), 0)
+    cols_row = jax.lax.broadcasted_iota(jnp.int32, (bk, nxp), 1)
+    for k in range(nxp // bk):
+        lo = k * bk
+        hi = lo + bk
+        # pivot block inverse (scalar GJ, ref-carried for cheap row reads).
+        # An MXU Newton-Schulz pivot was tried and REJECTED on measurement:
+        # interior pivots do converge in 9-15 iterations (cond 4-9), but an
+        # in-kernel (64, 64) dot costs ~0.5 us to issue, so ~136 dots per
+        # pivot lose 4x to the 14 us scalar GJ (whole kernel 39 -> 101 ms;
+        # measured on the real chip; see PERF_NOTES round 2).
+        if folded:
+            # Pre-scale the pivot block to O(1) so the folded GJ's implicit
+            # pivot-row/col differences stay cancellation-free (see
+            # _pivot_gj_folded_ref); inv(s M) = inv(M) / s.
+            blk_re = g_re_ref[0, lo:hi, lo:hi]
+            blk_im = g_im_ref[0, lo:hi, lo:hi]
+            s = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(blk_re)),
+                                        jnp.max(jnp.abs(blk_im))), 1e-38)
+            inv_s = 1.0 / s
+            pv_ref[:, :bk] = blk_re * inv_s
+            pv_ref[:, bk:] = blk_im * inv_s
+            _pivot_gj_folded_ref(pv_ref, bk)
+            pinv_re = pv_ref[:, :bk] * inv_s
+            pinv_im = pv_ref[:, bk:] * inv_s
+        else:
+            pv_ref[:, :bk] = g_re_ref[0, lo:hi, lo:hi]
+            pv_ref[:, bk:] = g_im_ref[0, lo:hi, lo:hi]
+            _pivot_gj_ref(pv_ref, bk)
+            pinv_re, pinv_im = pv_ref[:, :bk], pv_ref[:, bk:]
+
+        r_re = g_re_ref[0, lo:hi, :]            # (bk, nxp) pivot rows
+        r_im = g_im_ref[0, lo:hi, :]
+        c_re = g_re_ref[0, :, lo:hi]            # (nxp, bk) panel columns
+        c_im = g_im_ref[0, :, lo:hi]
+        in_piv = (rows_col >= lo) & (rows_col < hi)
+        cz_re = jnp.where(in_piv, 0.0, c_re)    # pivot rows zeroed
+        cz_im = jnp.where(in_piv, 0.0, c_im)
+
+        pp = panel_precision
+        rs_re, rs_im = _cdot(pinv_re, pinv_im, r_re, r_im, pp)    # P^-1 R
+        cs_re, cs_im = _cdot(cz_re, cz_im, pinv_re, pinv_im, pp)  # C P^-1
+
+        u_re, u_im = _cdot(cz_re, cz_im, rs_re, rs_im, pp)   # rank-bk update
+        w_re = g_re_ref[0] - u_re
+        w_im = g_im_ref[0] - u_im
+        g_re_ref[0] = w_re
+        g_im_ref[0] = w_im
+        # panel columns (rows outside pivot block): -C P^-1
+        g_re_ref[0, :, lo:hi] = -cs_re
+        g_im_ref[0, :, lo:hi] = -cs_im
+        # pivot rows: P^-1 R off-panel, P^-1 in the panel block (lo is a
+        # Python constant, so the padded pivot rows are a static concat)
+        row_in_piv = (cols_row >= lo) & (cols_row < hi)
+
+        def embed(p):
+            parts = []
+            if lo:
+                parts.append(jnp.zeros((bk, lo), jnp.float32))
+            parts.append(p)
+            if nxp - hi:
+                parts.append(jnp.zeros((bk, nxp - hi), jnp.float32))
+            return jnp.concatenate(parts, axis=1) if len(parts) > 1 else p
+
+        g_re_ref[0, lo:hi, :] = jnp.where(row_in_piv, embed(pinv_re), rs_re)
+        g_im_ref[0, lo:hi, :] = jnp.where(row_in_piv, embed(pinv_im), rs_im)
+
+
 def _factor_kernel(nxp: int, bk: int, folded: bool, panel_precision,
                    cur_re_ref, cur_im_ref, prev_re_ref, prev_im_ref,
                    g_re_ref, g_im_ref,
@@ -292,76 +367,12 @@ def _factor_kernel(nxp: int, bk: int, folded: bool, panel_precision,
                      jnp.where(on_sub, dsr_im,
                                jnp.where(on_sup, dpr_im, 0.0))) - lgu_im
 
-    # In-place blocked Gauss-Jordan inverse of S (cf. batched_inv.batched_inv,
-    # unbatched): use the output block as the working buffer.
+    # In-place blocked Gauss-Jordan inverse of S via the shared helper
+    # (the output block doubles as the working buffer).
     g_re_ref[0] = s_re
     g_im_ref[0] = s_im
-    rows_col = jax.lax.broadcasted_iota(jnp.int32, (nxp, bk), 0)
-    cols_row = jax.lax.broadcasted_iota(jnp.int32, (bk, nxp), 1)
-    for k in range(nxp // bk):
-        lo = k * bk
-        hi = lo + bk
-        # pivot block inverse (scalar GJ, ref-carried for cheap row reads).
-        # An MXU Newton-Schulz pivot was tried and REJECTED on measurement:
-        # interior pivots do converge in 9-15 iterations (cond 4-9), but an
-        # in-kernel (64, 64) dot costs ~0.5 us to issue, so ~136 dots per
-        # pivot lose 4x to the 14 us scalar GJ (whole kernel 39 -> 101 ms;
-        # measured on the real chip; see PERF_NOTES round 2).
-        if folded:
-            # Pre-scale the pivot block to O(1) so the folded GJ's implicit
-            # pivot-row/col differences stay cancellation-free (see
-            # _pivot_gj_folded_ref); inv(s M) = inv(M) / s.
-            blk_re = g_re_ref[0, lo:hi, lo:hi]
-            blk_im = g_im_ref[0, lo:hi, lo:hi]
-            s = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(blk_re)),
-                                        jnp.max(jnp.abs(blk_im))), 1e-38)
-            inv_s = 1.0 / s
-            pv_ref[:, :bk] = blk_re * inv_s
-            pv_ref[:, bk:] = blk_im * inv_s
-            _pivot_gj_folded_ref(pv_ref, bk)
-            pinv_re = pv_ref[:, :bk] * inv_s
-            pinv_im = pv_ref[:, bk:] * inv_s
-        else:
-            pv_ref[:, :bk] = g_re_ref[0, lo:hi, lo:hi]
-            pv_ref[:, bk:] = g_im_ref[0, lo:hi, lo:hi]
-            _pivot_gj_ref(pv_ref, bk)
-            pinv_re, pinv_im = pv_ref[:, :bk], pv_ref[:, bk:]
-
-        r_re = g_re_ref[0, lo:hi, :]            # (bk, nxp) pivot rows
-        r_im = g_im_ref[0, lo:hi, :]
-        c_re = g_re_ref[0, :, lo:hi]            # (nxp, bk) panel columns
-        c_im = g_im_ref[0, :, lo:hi]
-        in_piv = (rows_col >= lo) & (rows_col < hi)
-        cz_re = jnp.where(in_piv, 0.0, c_re)    # pivot rows zeroed
-        cz_im = jnp.where(in_piv, 0.0, c_im)
-
-        pp = panel_precision
-        rs_re, rs_im = _cdot(pinv_re, pinv_im, r_re, r_im, pp)    # P^-1 R
-        cs_re, cs_im = _cdot(cz_re, cz_im, pinv_re, pinv_im, pp)  # C P^-1
-
-        u_re, u_im = _cdot(cz_re, cz_im, rs_re, rs_im, pp)   # rank-bk update
-        w_re = g_re_ref[0] - u_re
-        w_im = g_im_ref[0] - u_im
-        g_re_ref[0] = w_re
-        g_im_ref[0] = w_im
-        # panel columns (rows outside pivot block): -C P^-1
-        g_re_ref[0, :, lo:hi] = -cs_re
-        g_im_ref[0, :, lo:hi] = -cs_im
-        # pivot rows: P^-1 R off-panel, P^-1 in the panel block (lo is a
-        # Python constant, so the padded pivot rows are a static concat)
-        row_in_piv = (cols_row >= lo) & (cols_row < hi)
-
-        def embed(p):
-            parts = []
-            if lo:
-                parts.append(jnp.zeros((bk, lo), jnp.float32))
-            parts.append(p)
-            if nxp - hi:
-                parts.append(jnp.zeros((bk, nxp - hi), jnp.float32))
-            return jnp.concatenate(parts, axis=1) if len(parts) > 1 else p
-
-        g_re_ref[0, lo:hi, :] = jnp.where(row_in_piv, embed(pinv_re), rs_re)
-        g_im_ref[0, lo:hi, :] = jnp.where(row_in_piv, embed(pinv_im), rs_im)
+    _gj_invert_block(g_re_ref, g_im_ref, pv_ref, nxp, bk, folded,
+                     panel_precision)
 
     # persist for the next grid step
     gp_re_ref[:] = g_re_ref[0]

@@ -40,6 +40,7 @@ from .krylov import gmres, gmres_cpx
 from .born import born_gmres_solve, born_series_solve
 from .cpx import Cpx
 from .cyclic import CRFactor, cr_factor_cpx, cr_solve_cpx
+from .twisted import TwistedFactorCpx, twisted_factor_cpx, twisted_solve_cpx
 from .preconditioner import (PrecondParams, make_fft_preconditioner,
                              make_fft_preconditioner_cpx, shifted_k2,
                              shifted_k2_cpx)
@@ -554,6 +555,17 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
         return banded_factor_pallas(coeffs, panel_precision=pp)
     if mode == "cr":
         return cr_factor_cpx(coeffs)
+    if mode == "twisted":
+        # Two-sided elimination: same flops as block-Thomas in half the
+        # dependent grid steps (ops/twisted.py). Fused kernels off-CPU,
+        # XLA scans (oracle path) on CPU.
+        if jax.default_backend() != "cpu":
+            from .pallas_twisted import twisted_factor_pallas
+            pp = (jax.lax.Precision.DEFAULT
+                  if cfg.factor_precision == "default"
+                  else jax.lax.Precision.HIGHEST)
+            return twisted_factor_pallas(coeffs, panel_precision=pp)
+        return twisted_factor_cpx(coeffs)
     if mode == "thomas":
         # fast_sweeps measured NET-SLOWER on the real TPU at the benchmark
         # workload (factor 135 vs 114 ms, iteration 0.160 vs 0.148 s): the
@@ -610,7 +622,14 @@ def _banded_solve_refined_cpx(factor, rhs: Cpx,
     fine at 301^2; PERF_NOTES round 4)."""
     opfn = _make_apply_cpx(factor.coeffs if refine_coeffs is None
                            else refine_coeffs, cfg, adjoint=adjoint)
-    if isinstance(factor, CRFactor):
+    if isinstance(factor, TwistedFactorCpx):
+        if factor.g_down is not None:
+            from .pallas_twisted import twisted_solve_pallas
+            base = (partial(twisted_solve_pallas, precision=precision)
+                    if precision is not None else twisted_solve_pallas)
+        else:
+            base = twisted_solve_cpx
+    elif isinstance(factor, CRFactor):
         base = cr_solve_cpx
     elif (jax.default_backend() != "cpu" and factor.sweeps is None):
         # Fused-sweep kernel: each pass is one pallas_call instead of an
