@@ -43,7 +43,7 @@ solveHelmholtz.m:128-137).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +54,9 @@ from .split_engine import (_col_op_gu_cpx, _gemv, _gemv_h, _row_op_lm_cpx,
                            _tri_dense_cpx, _tri_matvec_cpx, _tri_matvec_h_cpx)
 
 
-class TwistedFactorCpx(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TwistedFactorCpx:
     """Twisted factorization of the 9-plane block-tridiagonal operator.
 
     ``g``: (ny, nx, nx) split-complex inverses in row order — rows < m hold
@@ -70,12 +72,15 @@ class TwistedFactorCpx(NamedTuple):
 
     g: Cpx | None
     coeffs: Cpx
-    m: int
+    # The twist row is STATIC metadata (it shapes the solve's slices), so a
+    # factor passed across a jit boundary keeps it a Python int.
+    m: int = dataclasses.field(metadata=dict(static=True))
     g_down: Cpx | None = None
     g_up: Cpx | None = None
     # Block-Thomas compatibility: the solve dispatcher checks these.
-    sweeps: None = None
-    g_pad: None = None
+    sweeps: None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    g_pad: None = dataclasses.field(default=None, metadata=dict(static=True))
 
 
 def middle_row(ny: int) -> int:
