@@ -11,15 +11,25 @@ Prints ONE JSON line carrying the full scorecard:
   * sec/FWI-iteration and the speedup vs the MATLAB baseline
     (vs_baseline > 1 means faster than the reference);
   * reconstruction quality: RMSE [m/s] of the 10-iteration result against
-    the dataset's 801^2 true map inside the ring, asserted <= 16 (the
-    regression gate from tests/test_reference_parity.py) — a perf change
-    that silently degrades reconstruction turns this artifact red;
+    the dataset's 801^2 true map inside the ring, asserted <= 15.5 (the
+    demonstrated 14.86-15.09 band + noise margin) — a perf change that
+    silently degrades reconstruction turns this artifact red;
+  * intake-chain quality (rmse_intake_m_s): reciprocity compensation +
+    calibrated background speed + bilinear receivers + illumination
+    preconditioning, asserted <= 6.0 (demonstrated record: 4.19 m/s) —
+    a regression in QC/calibration/receiver-model code turns this red;
   * roofline accounting (utils.flops): algorithmic TFLOP/s, MFU vs the
     v5e bf16 peak, achieved HBM GB/s, and the named binding constraint —
     the absolute-utilization story the wall-clock number alone can't tell;
-  * a 3D datapoint: sec/CG-iteration of the volumetric 64^3 / 16-tx /
-    300 kHz GMRES-CBS inversion (the 3D production solver), with its own
-    TFLOP/s from the measured matvec count.
+  * 3D datapoints: cold and warm-started sec/CG-iteration of the
+    volumetric 64^3 / 16-tx / 300 kHz GMRES-CBS inversion (the 3D
+    production solver), with TFLOP/s from the measured matvec count.
+
+Every phase runs under its own try/except with ONE retry (round-5
+verdict item 2): a transient relay fault (e.g. "remote_compile: read
+body" seen in BENCH_r04) can no longer drop metrics whose computation
+did not actually fail; a phase that fails twice records
+``<phase>_error`` and the remaining phases still run.
 """
 
 import json
@@ -31,7 +41,28 @@ import numpy as np
 BASELINE_SEC_PER_ITER = 52.42 / 10  # MATLAB, 10 iterations (BASELINE.md)
 REFERENCE_DATA = "/root/reference/Lecture19_Fwi/RecordedData.mat"
 N_ITER = 10
-RMSE_GATE_M_S = 16.0  # tests/test_reference_parity.py regression gate
+# Demonstrated reconstruction band over rounds 3-5: 14.86-15.09 m/s; the
+# gate sits just above the noise band so a ~1 m/s silent regression
+# (previous gate: 16.0) now turns the artifact red.
+RMSE_GATE_M_S = 15.5
+# Intake-chain record: 4.19-4.20 m/s (PERF_NOTES rounds 3-4); 5.07-5.51
+# under 40-20 dB noise. Gate at 6.0 per the round-5 verdict.
+RMSE_INTAKE_GATE_M_S = 6.0
+
+
+def _phase(record, name, fn, retries=1):
+    """Run one bench phase; on failure retry once (transient relay faults),
+    then record the error without losing the other phases' metrics."""
+    for attempt in range(retries + 1):
+        try:
+            fn()
+            record.pop(f"{name}_error", None)
+            return True
+        except Exception as e:  # noqa: BLE001 — record, don't lose artifact
+            record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            if attempt < retries:
+                time.sleep(5.0)
+    return False
 
 
 def _load_or_synthesize():
@@ -74,7 +105,7 @@ def bench_2d(record):
     # only for a few compute ops; see waveforminversionust_tpu.ops.cpx).
     split = jax.devices()[0].platform != "cpu"
     data = build_fwi_data(acq, ds.rec_data, ds.f, split=split)
-    # Production-tuned configuration (PERF_NOTES round 3): frozen-factor
+    # Production-tuned configuration (PERF_NOTES rounds 3-5): frozen-factor
     # CG at K=2 — factorize every other iteration, one refinement pass
     # against the current operator on stale iterations. Measured on this
     # workload: 0.0502 vs 0.0538 s/iter, reconstruction RMSE 14.95 vs
@@ -145,11 +176,54 @@ def bench_2d(record):
     })
 
 
-def bench_3d(record, n: int = 64, d: float = 0.75e-3):
-    """64^3 / 16-tx / 300 kHz volumetric CG iteration (GMRES-CBS + DFT
-    matmul transforms, the 3D production defaults) — the driver-tracked
-    3D perf line (round-3 verdict item 7). ``n``/``d`` are overridable so
-    the smoke test can run a tiny volume on CPU."""
+def bench_intake(record):
+    """Quality record under driver tracking (round-5 verdict item 5): the
+    full intake chain — reciprocity QC compensation + calibrated
+    background speed + bilinear receivers + illumination preconditioning —
+    on the reference dataset, 10 CG iterations. A regression in any intake
+    component (qc, calibrate, bilinear weights, illumination) turns this
+    phase red. Demonstrated record: 4.19-4.20 m/s (PERF_NOTES)."""
+    import dataclasses
+
+    import jax
+
+    from waveforminversionust_tpu import (AcquisitionConfig, FWIConfig,
+                                          Grid2D, calibrate_background_speed)
+    from waveforminversionust_tpu.data.qc import (compensate_reciprocity,
+                                                  qc_report)
+    from waveforminversionust_tpu.fwi.runner import (default_inversion_grid,
+                                                     invert_dataset,
+                                                     reconstruction_rmse)
+
+    ds = _load_or_synthesize()
+    rep = qc_report(ds.rec_data, exclude_each_side=31)
+    ds = ds._replace(rec_data=compensate_reciprocity(ds.rec_data, rep.ratios))
+    grid = default_inversion_grid()
+    cal = calibrate_background_speed(
+        ds, grid=grid, acquisition=AcquisitionConfig(tx_downsample=16),
+        c_min=1400.0, c_max=1600.0, num=9, levels=2)
+    res = invert_dataset(
+        ds, grid=grid,
+        acquisition=AcquisitionConfig(interpolation="bilinear"),
+        fwi=FWIConfig(num_iterations=N_ITER, precondition="illumination"),
+        c_init=cal.c0)
+    true_grid = Grid2D.from_arrays(ds.x, ds.y)
+    rmse = float(reconstruction_rmse(
+        np.asarray(jax.device_get(res.velocity)), grid, ds.c, true_grid))
+    assert rmse <= RMSE_INTAKE_GATE_M_S, (
+        f"intake-chain RMSE {rmse:.2f} m/s exceeds the "
+        f"{RMSE_INTAKE_GATE_M_S} gate (record: 4.19) — an intake component "
+        f"(QC/calibration/bilinear/illumination) regressed")
+    record["rmse_intake_m_s"] = round(rmse, 2)
+    record["rmse_intake_gate_m_s"] = RMSE_INTAKE_GATE_M_S
+    record["calibrated_c0_m_s"] = round(float(cal.c0), 2)
+
+
+def bench_3d_setup(ctx, n: int = 64, d: float = 0.75e-3):
+    """Shared 3D setup: 64^3 / 16-tx / 300 kHz volumetric workload
+    (GMRES-CBS + DFT matmul transforms, the 3D production defaults).
+    ``n``/``d`` are overridable so the smoke test can run a tiny volume on
+    CPU. Fills ``ctx`` for the cold/warm timing phases."""
     import jax
     import jax.numpy as jnp
 
@@ -162,8 +236,6 @@ def bench_3d(record, n: int = 64, d: float = 0.75e-3):
     from waveforminversionust_tpu.models.grid3d import Grid3D
     from waveforminversionust_tpu.ops import cpx as cpxlib
     from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
-    from waveforminversionust_tpu.utils.flops import (gmres_cbs_solve_cost,
-                                                      roofline)
 
     f, c0 = 300e3, 1500.0
     grid = Grid3D(nx=n, ny=n, nz=n, dx=d, dy=d, dz=d,
@@ -195,8 +267,7 @@ def bench_3d(record, n: int = 64, d: float = 0.75e-3):
     data = build_fwi_data_3d(acq, rec_obs, f, grid)._replace(src=src)
 
     vel0 = jnp.full(grid.shape, c0, jnp.float32)
-    n_it = 2
-    fwi = FWIConfig(num_iterations=n_it,
+    fwi = FWIConfig(num_iterations=2,
                     clip_velocity=(c0 - 100.0, c0 + 100.0))
 
     def run_and_sync(num_it, warm):
@@ -207,9 +278,21 @@ def bench_3d(record, n: int = 64, d: float = 0.75e-3):
         loss = np.asarray(jax.device_get(metrics.loss))
         return vel, loss
 
-    # Cold-start metric (round-over-round continuity with BENCH_r03; also
-    # the run whose flop pricing from the synthesis-solve matvec count is
-    # exact — every solve is cold at the same tolerance).
+    ctx.update(dict(n=n, matvecs=matvecs, ntx=src.re.shape[0],
+                    run_and_sync=run_and_sync))
+
+
+def bench_3d_cold(record, ctx):
+    """Cold-start 3D metric (round-over-round continuity with BENCH_r03;
+    also the run whose flop pricing from the synthesis-solve matvec count
+    is exact — every solve is cold at the same tolerance)."""
+    import jax
+
+    from waveforminversionust_tpu.utils.flops import (gmres_cbs_solve_cost,
+                                                      roofline)
+
+    run_and_sync, n, ntx = ctx["run_and_sync"], ctx["n"], ctx["ntx"]
+    n_it = 2
     run_and_sync(n_it, False)
     elapsed = float("inf")
     for _ in range(2):
@@ -222,24 +305,26 @@ def bench_3d(record, n: int = 64, d: float = 0.75e-3):
     # Price the iteration from the MEASURED matvec count of the synthesis
     # solve (forward/adjoint/line-search solves run the same operator at
     # the same tolerance): 3 solves per CG iteration.
-    ntx = src.re.shape[0]
     on_tpu = jax.devices()[0].platform != "cpu"
-    cost = gmres_cbs_solve_cost(n, n, n, ntx, n_matvecs=matvecs,
+    cost = gmres_cbs_solve_cost(n, n, n, ntx, n_matvecs=ctx["matvecs"],
                                 spectral="dft" if on_tpu else "fft").scale(3)
     rl = roofline(cost, sec_per_iter, precision="highest")
     record.update({
         f"sec_per_iter_3d_{n}cube_{ntx}tx": round(sec_per_iter, 3),
-        "matvecs_per_solve_3d": matvecs,
+        "matvecs_per_solve_3d": ctx["matvecs"],
         "tflops_3d": round(rl["tflops"], 3),
         "mfu_3d": round(rl["mfu"], 4),
         "bound_3d": rl["bound"],
     })
 
-    # Production steady-state: warm_start="auto" (on) carries each solve's
-    # field into the next iteration's GMRES x0 (PERF_NOTES round 4). Timed
-    # over 4 iterations so the cold first iteration doesn't dominate; no
-    # flop/MFU claims here — warm solves do fewer (uncounted) matvecs, so
-    # pricing them at the cold count would overstate utilization.
+
+def bench_3d_warm(record, ctx):
+    """Production steady-state: warm_start="auto" (on) carries each solve's
+    field into the next iteration's GMRES x0 (PERF_NOTES round 4). Timed
+    over 4 iterations so the cold first iteration doesn't dominate; no
+    flop/MFU claims here — warm solves do fewer (uncounted) matvecs, so
+    pricing them at the cold count would overstate utilization."""
+    run_and_sync = ctx["run_and_sync"]
     n_warm = 4
     run_and_sync(n_warm, True)
     elapsed_w = float("inf")
@@ -247,18 +332,24 @@ def bench_3d(record, n: int = 64, d: float = 0.75e-3):
         t0 = time.perf_counter()
         _, loss = run_and_sync(n_warm, True)
         elapsed_w = min(elapsed_w, time.perf_counter() - t0)
-        assert np.all(np.isfinite(loss)) and loss[-1] < loss[0], loss
+        # Divergence guard only: near the solver-truncation floor warm
+        # trajectories are tolerance noise (PERF_NOTES round 4), so a
+        # strict monotone check would false-alarm; the cold phase already
+        # asserts the strict decrease.
+        assert np.all(np.isfinite(loss)) and loss[-1] <= 1.5 * loss[0], loss
     record["sec_per_iter_3d_warm_start"] = round(elapsed_w / n_warm, 3)
 
 
 def main():
     record = {}
-    bench_2d(record)
+    _phase(record, "bench_2d", lambda: bench_2d(record))
+    if os.environ.get("BENCH_SKIP_INTAKE") != "1":
+        _phase(record, "bench_intake", lambda: bench_intake(record))
     if os.environ.get("BENCH_SKIP_3D") != "1":
-        try:
-            bench_3d(record)
-        except Exception as e:  # record, don't lose the 2D artifact
-            record["bench_3d_error"] = f"{type(e).__name__}: {e}"[:200]
+        ctx = {}
+        if _phase(record, "bench_3d_setup", lambda: bench_3d_setup(ctx)):
+            _phase(record, "bench_3d_cold", lambda: bench_3d_cold(record, ctx))
+            _phase(record, "bench_3d_warm", lambda: bench_3d_warm(record, ctx))
     print(json.dumps(record))
 
 

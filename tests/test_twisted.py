@@ -159,3 +159,18 @@ def test_solve_helmholtz_twisted_config(adjoint):
     a, r = _to_c(u), _to_c(u_ref)
     err = np.abs(a - r).max() / np.abs(r).max()
     assert err < 5e-5, err
+
+
+def test_twisted_factor_pallas_rejects_off_center_m():
+    """The fused sweeps support only m <= ny-1-m (top chain shorter); an
+    off-center m must be rejected at factor time with an actionable error,
+    not a bare trace-time assert in the solve (round-4 advisor note)."""
+    from waveforminversionust_tpu.ops.pallas_twisted import \
+        twisted_factor_pallas
+
+    planes = _random_planes(9, 8)
+    with pytest.raises(ValueError, match="m <= ny-1-m"):
+        twisted_factor_pallas(planes, interpret=True, m=6)
+    for bad in (0, 8):
+        with pytest.raises(ValueError, match="out of range"):
+            twisted_factor_pallas(planes, interpret=True, m=bad)

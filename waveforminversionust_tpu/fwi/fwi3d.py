@@ -206,14 +206,23 @@ def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
 
 
 def _rhs_norm(rhs: Cpx):
-    return jnp.sqrt(jnp.sum(rhs.re ** 2) + jnp.sum(rhs.im ** 2))
+    """Per-shot RHS norms, shape (batch, 1, 1, 1). Normalizing each batch
+    element independently keeps every shot's initial guess tight even when
+    per-shot RHS magnitudes drift unevenly between outer iterations (e.g.
+    adjoint sources shrinking at different rates as some shots converge
+    faster) — a global norm would mis-scale individual shots' guesses
+    (round-4 advisor note; efficiency, never correctness: GMRES still
+    converges to gmres_tol either way)."""
+    axes = tuple(range(1, rhs.re.ndim))
+    return jnp.sqrt(jnp.sum(rhs.re ** 2, axis=axes, keepdims=True)
+                    + jnp.sum(rhs.im ** 2, axis=axes, keepdims=True))
 
 
 def _warm_x0(carry: Cpx | None, rhs: Cpx) -> Cpx | None:
     """GMRES initial guess from an RHS-normalized warm carry.
 
-    The carry stores the previous solution per unit RHS norm
-    (:func:`_warm_carry`), so rescaling by the CURRENT RHS norm keeps the
+    The carry stores the previous solution per unit (per-shot) RHS norm
+    (:func:`_warm_carry`), so rescaling by the CURRENT RHS norms keeps the
     guess well-scaled even when the right-hand side's magnitude drifts
     between outer iterations (the adjoint source shrinks with the
     residual; the line-search source scales with the gradient). The very
@@ -226,16 +235,20 @@ def _warm_x0(carry: Cpx | None, rhs: Cpx) -> Cpx | None:
 
 
 def _warm_carry(sol: Cpx, rhs: Cpx) -> Cpx:
-    """Store ``sol`` normalized per unit RHS norm; zeros if non-finite.
+    """Store ``sol`` normalized per unit per-shot RHS norm; zeros any
+    non-finite shot.
 
     The non-finite guard matters: a NaN carry would otherwise poison the
     next iteration's GMRES (its per-lane NaN-freeze keeps the ITERATE
     safe but would return the NaN x0 unchanged), turning one bad solve
-    into a permanently cold — or dead — warm-start chain.
+    into a permanently cold — or dead — warm-start chain. The guard is
+    per shot, so one bad solve costs only that shot's warmth.
     """
     n = _rhs_norm(rhs)
     out = cpx.scale(sol, jnp.where(n > 0, 1.0 / n, 0.0))
-    tot = jnp.sum(out.re ** 2) + jnp.sum(out.im ** 2)
+    axes = tuple(range(1, out.re.ndim))
+    tot = (jnp.sum(out.re ** 2, axis=axes, keepdims=True)
+           + jnp.sum(out.im ** 2, axis=axes, keepdims=True))
     ok = jnp.isfinite(tot)
     return Cpx(jnp.where(ok, out.re, 0.0), jnp.where(ok, out.im, 0.0))
 

@@ -240,6 +240,13 @@ def twisted_factor_pallas(coeffs: Cpx, interpret: bool = False,
         m = middle_row(ny)
     if not 0 < m < ny - 1:
         raise ValueError(f"middle row {m} out of range for ny={ny}")
+    if m > ny - 1 - m:
+        # The fused sweeps assume the top chain is the shorter one
+        # (nsteps == ny-1-m; see twisted_solve_pallas) — an off-center m
+        # past the middle would produce a factor the solver cannot consume.
+        raise ValueError(
+            f"twisted middle row m={m} must satisfy m <= ny-1-m (ny={ny}); "
+            f"use middle_row(ny)={middle_row(ny)} or a smaller m")
     g_down, g_up = _twisted_factor_g(coeffs, interpret, bk, m,
                                      panel_precision)
     return TwistedFactorCpx(g=None, coeffs=coeffs, m=m,

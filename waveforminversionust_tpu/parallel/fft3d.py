@@ -417,6 +417,11 @@ def born_gmres_solve_3d_sharded(vel, src, f, grid: Grid3D, mesh: Mesh,
         # checker cannot express "varying over shot, replicated over
         # grid" through lax.while_loop/fori_loop carries, so disable it
         # here (parallel.spike runs check_vma=False for the same reason).
+        # NOTE: check_vma=False is whole-body — it also drops static
+        # shard-safety checking over GRID-axis collectives in this branch,
+        # not just the shot axis that justifies it; the composed-mesh
+        # trajectory tests (tests/test_parallel.py shot x grid == single)
+        # are the guard for those.
         vma = {"check_vma": False}
     if attenuation is None:
         fn = shard_map(body, mesh=mesh, in_specs=(vol, batch_vol, P()),
