@@ -205,12 +205,15 @@ class SolverConfig:
     # refinement there).
     refactor_every: int = 1
     stale_refine: bool = True
-    # Fused 9-point operator application (ops.pallas_stencil
-    # .h_apply_pallas_cpx) for the banded refinement passes and GMRES
-    # matvecs: "auto" = on off-CPU when the whole-field kernel fits VMEM
-    # (<= 704^2, measured; ops.pallas_stencil.fused_apply_fits), "on" = force,
-    # "off" = the jnp apply (which materializes nine shifted field copies
-    # per component — ~9x the HBM traffic; utils.flops.h_apply_cost).
+    # Fused 9-point operator application (ops.pallas_stencil) for the
+    # banded refinement passes and GMRES matvecs: "auto" = off-CPU, the
+    # whole-field kernel (h_apply_pallas_cpx) when it fits VMEM (<= 704^2,
+    # measured; fused_apply_fits) and the y-tiled kernel
+    # (h_apply_tiled_cpx — same one-pass traffic, VMEM bounded by the
+    # tile height) beyond; "on" = force whole-field; "tiled" = force the
+    # y-tiled kernel; "off" = the jnp apply (which materializes nine
+    # shifted field copies per component — ~9x the HBM traffic;
+    # utils.flops.h_apply_cost).
     fused_apply: str = "auto"
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0

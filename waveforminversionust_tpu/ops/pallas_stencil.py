@@ -97,14 +97,140 @@ def _apply_planes(cre, cim, ure, uim, interpret: bool):
 # estimate undercounts ~2x (Mosaic double-buffers the per-step blocks):
 # measured on the real chip (round 4), 704^2 (495k px) compiles, 736^2
 # (541k px) fails VMEM (118.8 MB > 100 MB limit at 801^2). Gate "auto" at
-# the measured boundary; beyond it the jnp apply (ops.apply) takes over
-# (a y-tiled kernel would lift this).
+# the measured boundary; beyond it the y-TILED kernel below takes over
+# (round-5 verdict item 4) — same one-pass traffic, VMEM bounded by the
+# tile height instead of the whole field.
 _FUSED_APPLY_MAX_PIX = 500_000  # 704^2 = 495k fits (measured); 736^2 does not
 
 
 def fused_apply_fits(ny: int, nx: int) -> bool:
     """Whether the whole-field fused apply kernel fits VMEM at this grid."""
     return ny * nx <= _FUSED_APPLY_MAX_PIX
+
+
+# ---------------------------------------------------------------------------
+# y-tiled fused apply: removes the whole-field VMEM ceiling
+# ---------------------------------------------------------------------------
+
+def _tile_rows(ny: int, nx: int) -> int:
+    """Tile height: 128 rows, halved while the per-step VMEM estimate
+    (c blocks + field/out blocks, 2x double-buffered, both components)
+    exceeds ~64 MB; floors at 8 (one f32 sublane tile)."""
+    t = 128
+    while t > 8 and (9 + 2) * t * nx * 4 * 2 * 2 > 64 * 1024 * 1024:
+        t //= 2
+    return t
+
+
+def _tiled_kernel(tile, nxp, n_tiles,
+                  cre_ref, cim_ref, ure_ref, uim_ref,
+                  utr_ref, uti_ref, ubr_ref, ubi_ref,
+                  ore_ref, oim_ref, halo_re, halo_im):
+    """One grid step = one (tile of rows, transmit element). The halo
+    scratch holds tile+2 rows x nxp+2 cols; the off-tile neighbor rows
+    arrive as single-row blocks (utr/ubr), masked to zero at the grid's
+    outer boundary — reproducing the whole-field kernel's zero halo."""
+    t = pl.program_id(0)
+
+    halo_re[...] = jnp.zeros_like(halo_re)
+    halo_im[...] = jnp.zeros_like(halo_im)
+    halo_re[1:1 + tile, 1:1 + nxp] = ure_ref[0]
+    halo_im[1:1 + tile, 1:1 + nxp] = uim_ref[0]
+
+    @pl.when(t > 0)
+    def _():
+        halo_re[0:1, 1:1 + nxp] = utr_ref[0]
+        halo_im[0:1, 1:1 + nxp] = uti_ref[0]
+
+    @pl.when(t < n_tiles - 1)
+    def _():
+        halo_re[tile + 1:tile + 2, 1:1 + nxp] = ubr_ref[0]
+        halo_im[tile + 1:tile + 2, 1:1 + nxp] = ubi_ref[0]
+
+    out_re = jnp.zeros((tile, nxp), jnp.float32)
+    out_im = jnp.zeros((tile, nxp), jnp.float32)
+    for s, (dy, dx) in enumerate(STENCIL_OFFSETS):
+        ur = halo_re[1 + dy:1 + dy + tile, 1 + dx:1 + dx + nxp]
+        ui = halo_im[1 + dy:1 + dy + tile, 1 + dx:1 + dx + nxp]
+        cr = cre_ref[s]
+        ci = cim_ref[s]
+        out_re = out_re + cr * ur - ci * ui
+        out_im = out_im + cr * ui + ci * ur
+    ore_ref[0] = out_re
+    oim_ref[0] = out_im
+
+
+def _apply_planes_tiled(cre, cim, ure, uim, interpret: bool,
+                        tile: int | None = None):
+    """y-tiled fused apply on split f32 planes. Pads the row axis to a
+    tile multiple (zero rows — exactly the whole-field kernel's zero-halo
+    semantics), runs a (n_tiles, batch) grid with the batch axis INNER so
+    each coefficient strip is fetched once per tile rather than once per
+    transmit element, and crops the pad."""
+    batch, ny, nx = ure.shape
+    if tile is None:
+        tile = _tile_rows(ny, nx)
+    n_tiles = -(-ny // tile)
+    nyp = n_tiles * tile
+    if nyp != ny:
+        pad = ((0, 0), (0, nyp - ny), (0, 0))
+        cre = jnp.pad(cre, pad)
+        cim = jnp.pad(cim, pad)
+        ure = jnp.pad(ure, pad)
+        uim = jnp.pad(uim, pad)
+
+    c_spec = pl.BlockSpec((9, tile, nx), lambda t, b: (0, t, 0))
+    u_spec = pl.BlockSpec((1, tile, nx), lambda t, b: (b, t, 0))
+    # Single-row neighbor blocks (block-index units = 1 row): the row just
+    # above / below the tile; clamped at the boundary (the kernel masks
+    # those steps to the zero halo instead).
+    top_spec = pl.BlockSpec(
+        (1, 1, nx), lambda t, b: (b, jnp.maximum(t * tile - 1, 0), 0))
+    bot_spec = pl.BlockSpec(
+        (1, 1, nx), lambda t, b: (b, jnp.minimum((t + 1) * tile, nyp - 1), 0))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((batch, nyp, nx), jnp.float32),
+        jax.ShapeDtypeStruct((batch, nyp, nx), jnp.float32),
+    )
+    ore, oim = pl.pallas_call(
+        functools.partial(_tiled_kernel, tile, nx, n_tiles),
+        out_shape=out_shape,
+        grid=(n_tiles, batch),
+        in_specs=[c_spec, c_spec, u_spec, u_spec,
+                  top_spec, top_spec, bot_spec, bot_spec],
+        out_specs=(u_spec, u_spec),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2, nx + 2), jnp.float32),
+            pltpu.VMEM((tile + 2, nx + 2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cre, cim, ure, uim, ure, uim, ure, uim)
+    if nyp != ny:
+        ore = ore[:, :ny]
+        oim = oim[:, :ny]
+    return ore, oim
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def h_apply_tiled_cpx(coeffs, u, interpret: bool = False,
+                      tile: int | None = None):
+    """Split-complex y-tiled fused apply (same contract as
+    :func:`h_apply_pallas_cpx`). Serves grids past the whole-field
+    kernel's measured 704^2 VMEM ceiling — e.g. the 801^2+ refinement
+    passes and GMRES matvecs, which otherwise fall back to the jnp apply's
+    nine materialized shifted copies (~9x HBM traffic; the 801^2 solve
+    already runs at ~48% of HBM peak, so the apply traffic is the
+    binding term there — PERF_NOTES round-4 roofline table)."""
+    from .cpx import Cpx
+    if not _HAVE_PALLAS:  # pragma: no cover
+        from .split_engine import h_apply_cpx
+        return h_apply_cpx(coeffs, u)
+    ore, oim = _apply_planes_tiled(coeffs.re, coeffs.im, u.re, u.im,
+                                   interpret, tile)
+    return Cpx(ore, oim)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

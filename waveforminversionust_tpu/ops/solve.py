@@ -578,29 +578,46 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
     raise ValueError(f"unknown factorization {cfg.factorization!r}")
 
 
-def _use_fused_apply(cfg: SolverConfig, ny: int, nx: int) -> bool:
-    """Whether the fused Pallas operator apply runs at this grid/config."""
+def _fused_apply_kernel(cfg: SolverConfig, ny: int, nx: int) -> str | None:
+    """Which fused Pallas apply serves this grid/config: "whole" (the
+    whole-field kernel, <= its measured 704^2 VMEM ceiling), "tiled" (the
+    y-tiled kernel, any size), or None (the jnp 9-shifted-copies apply)."""
     from .pallas_stencil import _HAVE_PALLAS, fused_apply_fits
     mode = getattr(cfg, "fused_apply", "auto")
     if mode == "off" or not _HAVE_PALLAS:
-        return False
+        return None
     if mode == "on":
-        return True
-    return jax.default_backend() != "cpu" and fused_apply_fits(ny, nx)
+        return "whole"
+    if mode == "tiled":
+        return "tiled"
+    if jax.default_backend() == "cpu":
+        return None
+    return "whole" if fused_apply_fits(ny, nx) else "tiled"
+
+
+def _use_fused_apply(cfg: SolverConfig, ny: int, nx: int) -> bool:
+    """Whether a fused Pallas operator apply runs at this grid/config."""
+    return _fused_apply_kernel(cfg, ny, nx) is not None
 
 
 def _make_apply_cpx(coeffs: Cpx, cfg: SolverConfig, adjoint: bool = False):
     """Operator-apply closure H v (or H^H v) for the refinement/Krylov
     paths: the fused one-pass Pallas kernel when allowed
-    (SolverConfig.fused_apply), else the jnp 9-shifted-copies apply. The
+    (SolverConfig.fused_apply; the y-tiled variant past the whole-field
+    kernel's VMEM ceiling), else the jnp 9-shifted-copies apply. The
     adjoint fused form gathers with the re-centered conjugate planes
     (split_engine.adjoint_coefficients_cpx, built once per closure) —
     same math as the scatter-form h_apply_adjoint_cpx."""
     ny, nx = coeffs.re.shape[-2:]
-    if _use_fused_apply(cfg, ny, nx):
+    kernel = _fused_apply_kernel(cfg, ny, nx)
+    if kernel == "whole":
         from .pallas_stencil import h_apply_pallas_cpx
         planes = adjoint_coefficients_cpx(coeffs) if adjoint else coeffs
         return lambda v: h_apply_pallas_cpx(planes, v)
+    if kernel == "tiled":
+        from .pallas_stencil import h_apply_tiled_cpx
+        planes = adjoint_coefficients_cpx(coeffs) if adjoint else coeffs
+        return lambda v: h_apply_tiled_cpx(planes, v)
     if adjoint:
         return lambda v: h_apply_adjoint_cpx(coeffs, v)
     return lambda v: h_apply_cpx(coeffs, v)
