@@ -141,6 +141,10 @@ def standalone(n: int):
                 results[f"{name}_relres"] = float(
                     np.asarray(jax.device_get(num / den)))
         results[f"{name}_factor_ms"] = round((t_fac - rtt) * 1e3, 1)
+        print(f"# {n}^2 {name}: factor {results[f'{name}_factor_ms']} ms, "
+              f"solve hi {results[f'{name}_solve_hi_ms']} / def "
+              f"{results[f'{name}_solve_def_ms']} ms, relres "
+              f"{results[f'{name}_relres']:.2e}", flush=True)
         return fac if keep else None
 
     import gc

@@ -175,18 +175,24 @@ def scattered_data_3d(data: FWIData3D, grid: Grid3D, c_ref: float = 1500.0,
 def _make_solve_3d(grid: Grid3D, pml: PMLConfig, iter_cap: int,
                    mesh=None, grid_axis: str = "grid",
                    solver3d: str = "cbs", gmres_tol: float = 2e-3,
-                   gmres_restart: int = 8, spectral: str = "auto"):
+                   gmres_restart: int = 8, spectral: str = "auto",
+                   spectral_precision: str = "highest"):
     """Solver closure: the plain CBS solve, the Krylov-accelerated CBS
     (``solver3d="gmres"``: same FFT-pair cost per matvec, typically 2-5x
     fewer of them — ops.born3d.born_gmres_solve_3d), or — with a mesh —
     the grid-sharded pencil-FFT solve (parallel.fft3d), one z-slab per
-    device; mesh + gmres combine (psum-reduced Arnoldi dots)."""
+    device; mesh + gmres combine (psum-reduced Arnoldi dots).
+
+    ``spectral_precision``: MXU precision of the DFT-as-matmul transforms
+    inside the matvec (single-device paths; see ops.born3d
+    ._transform_precision) — the 3D analog of the 2D fast_* sweep flags."""
     if mesh is None:
         if solver3d == "gmres":
             from ..ops.born3d import born_gmres_solve_3d
             return partial(born_gmres_solve_3d, grid=grid, pml=pml,
                            maxiter=iter_cap, tol=gmres_tol,
-                           restart=gmres_restart, spectral=spectral)
+                           restart=gmres_restart, spectral=spectral,
+                           spectral_precision=spectral_precision)
         return partial(born_series_solve_3d, grid=grid, pml=pml,
                        iter_cap=iter_cap, spectral=spectral)
     # A mesh axis named "shot" additionally shards the transmit batch
@@ -342,7 +348,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     spectral: str = "auto", encode: int | None = None,
                     encode_seed: int = 0,
                     chunk_iterations: int | None = None,
-                    warm_start: bool | str = "auto"):
+                    warm_start: bool | str = "auto",
+                    spectral_precision: str = "highest"):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
 
     ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
@@ -424,7 +431,8 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     kw = dict(grid=grid, fwi=fwi, pml=pml, iter_cap=iter_cap, mesh=mesh,
               grid_axis=grid_axis, solver3d=solver3d, gmres_tol=gmres_tol,
               gmres_restart=gmres_restart, spectral=spectral, encode=encode,
-              encode_seed=encode_seed, warm_start=warm_start)
+              encode_seed=encode_seed, warm_start=warm_start,
+              spectral_precision=spectral_precision)
     vel0 = jnp.asarray(vel_init, jnp.float32)
     zeros = jnp.zeros(grid.shape, jnp.float32)
     state = (vel0, 1.0 / vel0, zeros, zeros)
@@ -451,11 +459,12 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                                    "pml", "iter_cap", "mesh", "grid_axis",
                                    "solver3d", "gmres_tol", "gmres_restart",
                                    "spectral", "encode", "encode_seed",
-                                   "warm_start"))
+                                   "warm_start", "spectral_precision"))
 def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
                          pml, iter_cap, mesh, grid_axis, solver3d,
                          gmres_tol, gmres_restart, spectral, encode,
-                         encode_seed, it0, warm_start=False):
+                         encode_seed, it0, warm_start=False,
+                         spectral_precision="highest"):
     """One scan of ``num_iterations`` CG steps from ``state`` = (vel,
     slow, search_dir, grad_prev[, warm-carry Cpx triple]), global
     iteration indices starting at the TRACED ``it0`` (so every chunk of a
@@ -464,7 +473,8 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
     solve = _make_solve_3d(grid, pml, iter_cap, mesh=mesh,
                            grid_axis=grid_axis, solver3d=solver3d,
                            gmres_tol=gmres_tol, gmres_restart=gmres_restart,
-                           spectral=spectral)
+                           spectral=spectral,
+                           spectral_precision=spectral_precision)
     ntx = data.src.re.shape[0]
 
     def step(state, it):

@@ -61,11 +61,25 @@ def _dft_mats(n: int):
 _DFT_SPECS = ("...zyx,zw->...wyx", "...zyx,yw->...zwx", "...zyx,xw->...zyw")
 
 
-def _dft3(x: Cpx, inverse: bool = False) -> Cpx:
+def _transform_precision(precision) -> jax.lax.Precision:
+    """Map a transform-precision name to the MXU contraction precision of
+    the DFT matmuls: "highest" (6-pass f32, the default), "high" (3-pass
+    bf16x3, ~f32 accuracy at half the MXU passes), "default" (single-pass
+    bf16, ~1e-3 relative per transform — acceptable only where the
+    consumer is quality-gated, e.g. the FWI inner loop's solves; see
+    fwi.fwi3d.nonlinear_cg_3d(spectral_precision=...))."""
+    if isinstance(precision, jax.lax.Precision):
+        return precision
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+
+
+def _dft3(x: Cpx, inverse: bool = False, precision="highest") -> Cpx:
     """3D DFT over the last three axes as three MXU matmul contractions
     (numerically the same transform as :func:`_fft3` / its inverse)."""
     dims = x.re.shape[-3:]
-    prec = jax.lax.Precision.HIGHEST
+    prec = _transform_precision(precision)
     for spec, n in zip(_DFT_SPECS, dims):
         wr, wi = _dft_mats(n)
         if inverse:
@@ -95,11 +109,19 @@ def _use_dft(shape, spectral: str) -> bool:
 def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
                      adjoint: bool = False, n_order: int = 9,
                      attenuation=None, spectral: str = "auto",
-                     shell_k0=None):
+                     shell_k0=None, spectral_precision="highest"):
     """3D CBS split: k-space Green's function, potential, preconditioner.
 
     ``spectral``: "fft" (XLA fftn), "dft" (MXU matmul transform), or
     "auto" (matmul on TPU for axes <= 128 — see :data:`_DFT_MAX_AXIS`).
+
+    ``spectral_precision``: MXU precision of the DFT-as-matmul transforms
+    ("highest" | "high" | "default"; :func:`_transform_precision`). Only
+    the dft path consumes it — the fftn path is precision-fixed. The
+    standalone-solver default stays "highest" (the 50-round-trip
+    cumulative-error ladder measured DEFAULT at 9e-2 and rejected it for
+    data synthesis); the FWI inner loop exposes it per-solve where final
+    model quality, not per-solve accuracy, is the gate.
 
     ``attenuation``: optional (nz, ny, nx) alpha map [Np/m] for lossy
     media — k = omega/c + i*sgn*alpha exactly as in the 2D engines
@@ -175,7 +197,8 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
 
     if _use_dft(grid.shape, spectral):
         def greens(w: Cpx) -> Cpx:
-            return _dft3(cpx.mul(g0, _dft3(w)), inverse=True)
+            return _dft3(cpx.mul(g0, _dft3(w, precision=spectral_precision)),
+                         inverse=True, precision=spectral_precision)
     else:
         def greens(w: Cpx) -> Cpx:
             return _ifft3(cpx.mul(g0, _fft3(w)))
@@ -224,7 +247,7 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
                         tol: float = 1e-5, maxiter: int = 600,
                         restart: int = 16, attenuation=None,
                         spectral: str = "auto", shell_k0=None,
-                        x0: Cpx | None = None):
+                        x0: Cpx | None = None, spectral_precision="highest"):
     """Krylov-accelerated 3D convergent Born series (split-complex).
 
     The 3D analog of 2D :func:`..born.born_gmres_solve`: the CBS fixed
@@ -244,11 +267,10 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
     """
     from .krylov import gmres_cpx
 
-    greens, v_pot, gamma, _ = born_operator_3d(vel, f, grid, pml, adjoint,
-                                               n_order,
-                                               attenuation=attenuation,
-                                               spectral=spectral,
-                                               shell_k0=shell_k0)
+    greens, v_pot, gamma, _ = born_operator_3d(
+        vel, f, grid, pml, adjoint, n_order, attenuation=attenuation,
+        spectral=spectral, shell_k0=shell_k0,
+        spectral_precision=spectral_precision)
     src = cpx.of(src)
 
     def a_op(u):
