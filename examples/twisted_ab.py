@@ -61,7 +61,10 @@ def measure_rtt():
 
 def _time_min(fn, sync_of, n=3):
     best = float("inf")
+    out = None
     for _ in range(n):
+        out = None  # drop the previous result BEFORE allocating the next
+        # (two live 1024^2 factors = 2 x 8.6 GB would exhaust HBM)
         t0 = time.perf_counter()
         out = fn()
         _sync(sync_of(out))

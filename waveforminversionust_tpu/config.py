@@ -115,10 +115,16 @@ class SolverConfig:
     # XLA scan elsewhere; "thomas" = the XLA lax.scan block-Thomas;
     # "pallas" = force the fused kernel; "twisted" = two-sided (BABE)
     # elimination from both grid ends toward the middle row — identical
-    # flops to block-Thomas in HALF the dependent grid steps, targeting
-    # the serial-chain latency the roofline table names as the production
-    # binding constraint (ops.twisted / ops.pallas_twisted; fused kernels
-    # off-CPU, XLA scans on CPU); "cr" = block cyclic reduction
+    # flops to block-Thomas in HALF the dependent grid steps
+    # (ops.twisted / ops.pallas_twisted; fused kernels off-CPU, XLA
+    # scans on CPU). MEASURED (PERF_NOTES round 5): solve sweeps 1.26x
+    # at 301^2 HIGHEST (1.01-1.17x at 601-801^2), factor NEUTRAL at
+    # every scale (it is throughput-bound on pivot instructions, which
+    # twisted conserves), bench-config end-to-end neutral (production
+    # sweeps run DEFAULT where the win is small) — so "auto" stays the
+    # default and "twisted" is the opt-in for HIGHEST-precision
+    # many-solves-per-factor forward modeling at <= ~600^2;
+    # "cr" = block cyclic reduction
     # (ops.cyclic — measured slower end-to-end on the targeted runtime,
     # kept for batched-elimination reference); "spike" = the distributed
     # grid-sharded SPIKE factorization (parallel.spike) — one y-slab per
