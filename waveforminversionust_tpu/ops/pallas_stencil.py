@@ -128,8 +128,12 @@ def _tiled_kernel(tile, nxp, n_tiles,
                   ore_ref, oim_ref, halo_re, halo_im):
     """One grid step = one (tile of rows, transmit element). The halo
     scratch holds tile+2 rows x nxp+2 cols; the off-tile neighbor rows
-    arrive as single-row blocks (utr/ubr), masked to zero at the grid's
-    outer boundary — reproducing the whole-field kernel's zero halo."""
+    arrive as 8-row-aligned blocks (utr/ubr — Mosaic requires sublane
+    blocks divisible by 8, so the single neighbor row rides in the 8-row
+    block that contains it: the LAST row of the previous tile's last
+    8-block, the FIRST row of the next tile's first 8-block), masked to
+    zero at the grid's outer boundary — reproducing the whole-field
+    kernel's zero halo."""
     t = pl.program_id(0)
 
     halo_re[...] = jnp.zeros_like(halo_re)
@@ -139,13 +143,13 @@ def _tiled_kernel(tile, nxp, n_tiles,
 
     @pl.when(t > 0)
     def _():
-        halo_re[0:1, 1:1 + nxp] = utr_ref[0]
-        halo_im[0:1, 1:1 + nxp] = uti_ref[0]
+        halo_re[0:1, 1:1 + nxp] = utr_ref[0, 7:8]
+        halo_im[0:1, 1:1 + nxp] = uti_ref[0, 7:8]
 
     @pl.when(t < n_tiles - 1)
     def _():
-        halo_re[tile + 1:tile + 2, 1:1 + nxp] = ubr_ref[0]
-        halo_im[tile + 1:tile + 2, 1:1 + nxp] = ubi_ref[0]
+        halo_re[tile + 1:tile + 2, 1:1 + nxp] = ubr_ref[0, 0:1]
+        halo_im[tile + 1:tile + 2, 1:1 + nxp] = ubi_ref[0, 0:1]
 
     out_re = jnp.zeros((tile, nxp), jnp.float32)
     out_im = jnp.zeros((tile, nxp), jnp.float32)
@@ -181,13 +185,19 @@ def _apply_planes_tiled(cre, cim, ure, uim, interpret: bool,
 
     c_spec = pl.BlockSpec((9, tile, nx), lambda t, b: (0, t, 0))
     u_spec = pl.BlockSpec((1, tile, nx), lambda t, b: (b, t, 0))
-    # Single-row neighbor blocks (block-index units = 1 row): the row just
-    # above / below the tile; clamped at the boundary (the kernel masks
-    # those steps to the zero halo instead).
+    # Neighbor-row blocks: Mosaic requires sublane block sizes divisible
+    # by 8, so the single halo row rides in an 8-row block (block-index
+    # units = 8 rows; tile is always a multiple of 8 — _tile_rows).
+    # Top: the last 8-block of the previous tile (its row 7 is the row
+    # just above this tile); bottom: the first 8-block of the next tile
+    # (its row 0 is the row just below). Clamped at the boundary (the
+    # kernel masks those steps to the zero halo instead).
+    t8 = tile // 8
+    n8 = n_tiles * t8
     top_spec = pl.BlockSpec(
-        (1, 1, nx), lambda t, b: (b, jnp.maximum(t * tile - 1, 0), 0))
+        (1, 8, nx), lambda t, b: (b, jnp.maximum(t * t8 - 1, 0), 0))
     bot_spec = pl.BlockSpec(
-        (1, 1, nx), lambda t, b: (b, jnp.minimum((t + 1) * tile, nyp - 1), 0))
+        (1, 8, nx), lambda t, b: (b, jnp.minimum((t + 1) * t8, n8 - 1), 0))
 
     out_shape = (
         jax.ShapeDtypeStruct((batch, nyp, nx), jnp.float32),
