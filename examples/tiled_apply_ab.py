@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-RHS_PER_SCALE = {512: 64, 704: 64, 736: 64, 801: 64, 1024: 16}
+RHS_PER_SCALE = {512: 64, 704: 64, 736: 64, 801: 64, 1024: 16, 1201: 16}
 
 
 def _sync(x):
@@ -162,17 +162,22 @@ def e2e(n: int = 801):
 
     for mode in ("off", "auto"):
         cfg = dataclasses.replace(base, fused_apply=mode)
-        sv = jax.jit(lambda s: helmholtz_operator_solve(op, s, grid, cfg))
-        t, u = _time_min(lambda: sv(src), lambda x: x.re[0, 0, :4])
-        r = jax.jit(lambda c, x: h_apply_cpx(c, x))(op.coeffs, u)
-        num = jnp.sqrt(jnp.sum((r.re - src.re * op.d_map) ** 2
-                               + (r.im - src.im * op.d_map) ** 2))
-        den = jnp.sqrt(jnp.sum((src.re * op.d_map) ** 2
-                               + (src.im * op.d_map) ** 2))
+        # op must be a jit ARGUMENT: as a closure constant its ~4.5 GB
+        # factor would be serialized into the program and shipped to the
+        # remote compiler (~6 MB/s through the relay).
+        sv = jax.jit(lambda o, s: helmholtz_operator_solve(o, s, grid, cfg))
+        t, u = _time_min(lambda: sv(op, src), lambda x: x.re[0, 0, :4])
+        def relres(c, x, s, d):
+            r = h_apply_cpx(c, x)
+            num = jnp.sqrt(jnp.sum((r.re - s.re * d) ** 2
+                                   + (r.im - s.im * d) ** 2))
+            den = jnp.sqrt(jnp.sum((s.re * d) ** 2 + (s.im * d) ** 2))
+            return num / den
+        rr = jax.jit(relres)(op.coeffs, u, src, op.d_map)
         print(json.dumps({
             "e2e": f"{n}^2 refined solve ({nrhs} RHS), fused_apply={mode}",
             "solve_ms": round((t - rtt) * 1e3, 1),
-            "rel_residual": float(np.asarray(jax.device_get(num / den))),
+            "rel_residual": float(np.asarray(jax.device_get(rr))),
         }), flush=True)
 
 

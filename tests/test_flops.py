@@ -64,11 +64,16 @@ def test_solve_mxu_matches_xla_cost_analysis():
     assert model.flops_mxu == pytest.approx(xla_flops, rel=0.3)
 
 
-def test_h_apply_fused_traffic_is_order_of_magnitude_lower():
+def test_h_apply_traffic_model():
+    """XLA fuses the jnp apply into one streamed pass (measured, round 5),
+    so jnp and Pallas forms price identical bytes; the hypothetical
+    materialized 9-copy bound stays ~8x above for the what-if ratio."""
     jnp_cost = h_apply_cost(301, 301, 256, fused=False)
     fused = h_apply_cost(301, 301, 256, fused=True)
     assert jnp_cost.flops_vpu == fused.flops_vpu  # same math
-    assert jnp_cost.bytes_hbm > 8 * fused.bytes_hbm  # 9 copies vs 1 stream
+    assert jnp_cost.bytes_hbm == fused.bytes_hbm  # both one-pass (measured)
+    mat = h_apply_cost(301, 301, 256, materialized=True)
+    assert mat.bytes_hbm > 8 * fused.bytes_hbm  # 9 copies vs 1 stream
 
 
 def test_fwi_iteration_composition():

@@ -92,9 +92,12 @@ def test_make_apply_cpx_gating():
 
 
 def test_fused_apply_kernel_dispatch():
-    """"auto" off-CPU routes <= 704^2 to the whole-field kernel and larger
-    grids to the y-tiled kernel (round-5 verdict item 4); "tiled" forces
-    the tiled kernel everywhere; CPU "auto" stays on the jnp apply."""
+    """"auto" off-CPU routes <= 704^2 to the whole-field kernel, larger
+    MISALIGNED-width grids (production odd widths, e.g. 801) to the
+    y-tiled kernel, and larger 8-aligned widths to the jnp apply (where
+    XLA's fused one-pass slice-add measured faster — PERF_NOTES round 5);
+    "tiled" forces the tiled kernel everywhere; CPU "auto" stays on the
+    jnp apply."""
     from waveforminversionust_tpu import SolverConfig
     from waveforminversionust_tpu.ops.solve import _fused_apply_kernel
 
@@ -103,11 +106,13 @@ def test_fused_apply_kernel_dispatch():
     assert _fused_apply_kernel(SolverConfig(fused_apply="on"), 301, 301) == "whole"
     assert _fused_apply_kernel(SolverConfig(fused_apply="tiled"), 301, 301) == "tiled"
     auto_small = _fused_apply_kernel(SolverConfig(), 301, 301)
-    auto_large = _fused_apply_kernel(SolverConfig(), 1024, 1024)
+    auto_odd = _fused_apply_kernel(SolverConfig(), 801, 801)
+    auto_aligned = _fused_apply_kernel(SolverConfig(), 1024, 1024)
     if on_cpu:
-        assert auto_small is None and auto_large is None
+        assert auto_small is None and auto_odd is None and auto_aligned is None
     else:
-        assert auto_small == "whole" and auto_large == "tiled"
+        assert auto_small == "whole" and auto_odd == "tiled"
+        assert auto_aligned is None
 
 
 def test_tiled_apply_cpx_matches_split_engine(rng):

@@ -214,12 +214,12 @@ class SolverConfig:
     # Fused 9-point operator application (ops.pallas_stencil) for the
     # banded refinement passes and GMRES matvecs: "auto" = off-CPU, the
     # whole-field kernel (h_apply_pallas_cpx) when it fits VMEM (<= 704^2,
-    # measured; fused_apply_fits) and the y-tiled kernel
-    # (h_apply_tiled_cpx — same one-pass traffic, VMEM bounded by the
-    # tile height) beyond; "on" = force whole-field; "tiled" = force the
-    # y-tiled kernel; "off" = the jnp apply (which materializes nine
-    # shifted field copies per component — ~9x the HBM traffic;
-    # utils.flops.h_apply_cost).
+    # measured; fused_apply_fits), and past that the y-tiled kernel
+    # (h_apply_tiled_cpx) only at NON-8-aligned row widths — the measured
+    # win region (801^2: 1.8x; XLA's own one-pass fusion of the jnp apply
+    # is faster at 8-aligned widths; PERF_NOTES round 5). "on" = force
+    # whole-field; "tiled" = force the y-tiled kernel; "off" = the jnp
+    # apply everywhere.
     fused_apply: str = "auto"
     born_iter_cap: int = 1000
     born_iter_scale: float = 1.0

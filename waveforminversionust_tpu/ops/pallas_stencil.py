@@ -1,9 +1,11 @@
 """Pallas TPU kernel for the 9-point Helmholtz operator application.
 
 The operator apply is the hot op of every Krylov/Born iteration and of the
-banded solver's refinement passes. The jnp version (:func:`.apply.h_apply`)
-materializes nine shifted copies of the field; this kernel performs the nine
-complex multiply-adds in one VMEM pass per transmit element.
+banded solver's refinement passes. These kernels perform the nine complex
+multiply-adds in one VMEM pass per transmit element. (XLA also fuses the
+jnp version's nine shifted slices into a one-pass loop — measured round 5;
+the kernels win where that fusion pays lane-masking at misaligned widths,
+e.g. the 301^2 and 801^2 production grids, not on raw bytes.)
 
 TPUs have no native complex arithmetic, so complex64 planes are carried as
 (real, imag) float32 pairs (SURVEY.md section 7 'hard parts' (d)) and the
@@ -230,10 +232,13 @@ def h_apply_tiled_cpx(coeffs, u, interpret: bool = False,
     """Split-complex y-tiled fused apply (same contract as
     :func:`h_apply_pallas_cpx`). Serves grids past the whole-field
     kernel's measured 704^2 VMEM ceiling — e.g. the 801^2+ refinement
-    passes and GMRES matvecs, which otherwise fall back to the jnp apply's
-    nine materialized shifted copies (~9x HBM traffic; the 801^2 solve
-    already runs at ~48% of HBM peak, so the apply traffic is the
-    binding term there — PERF_NOTES round-4 roofline table)."""
+    passes and GMRES matvecs. Measured on the chip (round 5,
+    examples/tiled_apply_ab.py): XLA already fuses the jnp apply into one
+    streamed pass, so this kernel wins only at MISALIGNED row widths
+    where that fusion pays lane masking (801^2: 1.8x standalone, 1.09x on
+    the refined solve; 8-aligned widths like 736/1024 favor the jnp
+    apply; 1201^2 parity) — ops.solve._fused_apply_kernel encodes that
+    gate."""
     from .cpx import Cpx
     if not _HAVE_PALLAS:  # pragma: no cover
         from .split_engine import h_apply_cpx
@@ -270,11 +275,12 @@ def h_apply_pallas_cpx(coeffs, u, interpret: bool = False):
     TPU runtime has no complex64 data movement, so the hot paths carry
     ``ops.cpx.Cpx`` plane pairs; see SolverConfig.split_complex).
 
-    Same math as :func:`.split_engine.h_apply_cpx`, which materializes
-    nine shifted copies of the field per component (~9x the HBM traffic of
-    one streamed pass; utils.flops.h_apply_cost prices both). Used by the
-    banded solver's iterative-refinement passes and the GMRES matvecs when
-    ``SolverConfig.fused_apply`` allows (see ops.solve._make_apply_cpx).
+    Same math as :func:`.split_engine.h_apply_cpx` (whose nine shifted
+    slices XLA fuses into one streamed pass — measured round 5; the win
+    here is lane-alignment efficiency at odd widths, not bytes;
+    utils.flops.h_apply_cost has the corrected traffic model). Used by
+    the banded solver's iterative-refinement passes and the GMRES matvecs
+    when ``SolverConfig.fused_apply`` allows (see ops.solve._make_apply_cpx).
 
     Args:
         coeffs: Cpx of (9, ny, nx) planes.

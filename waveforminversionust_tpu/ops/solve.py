@@ -581,7 +581,17 @@ def _factor_cpx(coeffs: Cpx, cfg: SolverConfig):
 def _fused_apply_kernel(cfg: SolverConfig, ny: int, nx: int) -> str | None:
     """Which fused Pallas apply serves this grid/config: "whole" (the
     whole-field kernel, <= its measured 704^2 VMEM ceiling), "tiled" (the
-    y-tiled kernel, any size), or None (the jnp 9-shifted-copies apply)."""
+    y-tiled kernel, any size), or None (the jnp apply).
+
+    The auto gate past the whole-field ceiling is EMPIRICAL (chip A/B,
+    PERF_NOTES round 5, examples/tiled_apply_ab.py): XLA fuses the jnp
+    apply's nine shifted slices into one streamed pass, and when the row
+    width is 8-aligned that fusion wins (736^2: jnp 2.3x faster; 1024^2:
+    4x) — but at misaligned widths it pays lane-masking overheads the
+    Pallas kernel avoids (801^2: tiled 1.8x faster standalone, 1.09x on
+    the refined solve; 1201^2: parity within relay noise). Production
+    grids (Grid2D.centered) have odd widths, so they take the tiled
+    kernel; 8-aligned demo grids keep the jnp apply."""
     from .pallas_stencil import _HAVE_PALLAS, fused_apply_fits
     mode = getattr(cfg, "fused_apply", "auto")
     if mode == "off" or not _HAVE_PALLAS:
@@ -592,7 +602,9 @@ def _fused_apply_kernel(cfg: SolverConfig, ny: int, nx: int) -> str | None:
         return "tiled"
     if jax.default_backend() == "cpu":
         return None
-    return "whole" if fused_apply_fits(ny, nx) else "tiled"
+    if fused_apply_fits(ny, nx):
+        return "whole"
+    return "tiled" if nx % 8 != 0 else None
 
 
 def _use_fused_apply(cfg: SolverConfig, ny: int, nx: int) -> bool:

@@ -132,20 +132,32 @@ def solve_cost(ny: int, nx: int, batch: int, bk: int = 64) -> StageCost:
 
 
 def h_apply_cost(ny: int, nx: int, batch: int,
-                 fused: bool = False) -> StageCost:
+                 fused: bool = False, materialized: bool = False) -> StageCost:
     """One 9-point operator application (ops.apply.h_apply /
-    ops.pallas_stencil.h_apply_pallas): 9 complex muls + 8 complex adds
-    per grid point per RHS — pure VPU work. The jnp form materializes
-    nine shifted field copies (9 reads + 9 writes of the full field per
-    component before the sum); the fused form streams the field once.
+    ops.pallas_stencil kernels): 9 complex muls + 8 complex adds per grid
+    point per RHS — pure VPU work.
+
+    Traffic model (CORRECTED round 5, measured — examples/tiled_apply_ab
+    .py): XLA fuses the jnp apply's nine shifted slices into ONE streamed
+    pass, so the jnp and Pallas forms move the same HBM bytes (field in +
+    out + the coefficient planes); the earlier 9-reads+9-writes model
+    (288 B/point/RHS) was disproven on the chip — at 1024^2 x 16 RHS the
+    jnp apply ran 2.92 ms where 9 materialized copies would need >= 6 ms
+    of HBM time alone. The forms differ in *efficiency* at misaligned
+    widths (lane masking), not in bytes; see ops.solve._fused_apply_kernel
+    for the measured dispatch gate. ``materialized=True`` prices the
+    hypothetical unfused 9-copy bound (kept for the what-if comparison
+    only).
     """
     n = ny * nx * batch
     vpu = (9 * 6 + 8 * 2) * n
-    if fused:
-        bytes_hbm = (2 + 2) * 4 * n + 9 * 2 * 4 * ny * nx
-    else:
-        # 9 shifted copies materialized + consumed, split planes.
+    del fused  # same bytes either way (see docstring); kept for API compat
+    if materialized:
+        # Hypothetical unfused bound: 9 shifted copies written + read back,
+        # split planes.
         bytes_hbm = 9 * 2 * 2 * 4 * n + (2 + 2) * 4 * n
+    else:
+        bytes_hbm = (2 + 2) * 4 * n + 9 * 2 * 4 * ny * nx
     return StageCost(0.0, float(vpu), float(bytes_hbm))
 
 
