@@ -308,7 +308,9 @@ def bench_3d_cold(record, ctx):
     on_tpu = jax.devices()[0].platform != "cpu"
     cost = gmres_cbs_solve_cost(n, n, n, ntx, n_matvecs=ctx["matvecs"],
                                 spectral="dft" if on_tpu else "fft").scale(3)
-    rl = roofline(cost, sec_per_iter, precision="highest")
+    # The FWI-loop transforms run spectral_precision="auto" -> HIGH
+    # (bf16x3, 3-pass; measured quality-neutral, PERF_NOTES round 5).
+    rl = roofline(cost, sec_per_iter, precision="high")
     record.update({
         f"sec_per_iter_3d_{n}cube_{ntx}tx": round(sec_per_iter, 3),
         "matvecs_per_solve_3d": ctx["matvecs"],

@@ -349,7 +349,7 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
                     encode_seed: int = 0,
                     chunk_iterations: int | None = None,
                     warm_start: bool | str = "auto",
-                    spectral_precision: str = "highest"):
+                    spectral_precision: str = "auto"):
     """3D nonlinear-CG inversion (one jitted scan; CBS solver).
 
     ``solver3d="gmres"`` swaps every solve for the Krylov-accelerated CBS
@@ -403,6 +403,16 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
 
     Returns (velocity (nz, ny, nx), CGMetrics history).
     """
+    if spectral_precision == "auto":
+        # Measured 3D precision ladder (PERF_NOTES round 5, 64^3 bench
+        # workload): "high" (bf16x3 DFT transforms) is quality-neutral
+        # (RMSE 3.405 vs 3.406, loss trajectory equal) at 1.03x; "default"
+        # (single-pass bf16) is REJECTED — its transform error inflates
+        # the GMRES matvec count so the loop runs 2x SLOWER and degrades
+        # the model (RMSE 5.51). Synthesis/standalone solver APIs
+        # (ops.born3d) keep their own "highest" default — data synthesis
+        # must not share the inversion's precision shortcut.
+        spectral_precision = "high"
     if warm_start == "auto":
         warm_start = (solver3d == "gmres" and mesh is None and not encode)
     elif warm_start:

@@ -47,7 +47,7 @@ class ChipSpec:
 V5E = ChipSpec()
 
 # Hardware pass multiplier per jax.lax.Precision on the MXU.
-PRECISION_PASSES = {"default": 1, "highest": 6}
+PRECISION_PASSES = {"default": 1, "high": 3, "highest": 6}
 
 
 class StageCost(NamedTuple):
