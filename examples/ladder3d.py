@@ -17,6 +17,12 @@ production operating point, the same discipline the 2D loop got
 
 Each config: 4 warm-started CG iterations, min-of-2 timing, one JSON
 line. Run: python examples/ladder3d.py   (TPU, ~15-25 min incl compiles)
+
+`python examples/ladder3d.py --eps` instead probes the CBS damping scale
+(born_gmres_solve_3d(eps_scale=...)): one forward solve at the same
+operating point per scale — matvec count, wall time, and solution parity
+vs the classical eps (all solves share tol, so converged solutions agree
+to ~tol by construction; the ladder checks it).
 """
 
 import json
@@ -29,6 +35,60 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def eps_ladder(n=64, d=0.75e-3):
+    from waveforminversionust_tpu import PMLConfig
+    from waveforminversionust_tpu.models.acquisition3d import (
+        build_acquisition3d, cylinder_positions, source_fields_3d)
+    from waveforminversionust_tpu.models.grid3d import Grid3D
+    from waveforminversionust_tpu.ops import cpx as cpxlib
+    from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
+
+    f, c0 = 300e3, 1500.0
+    grid = Grid3D(nx=n, ny=n, nz=n, dx=d, dy=d, dz=d,
+                  x0=-(n - 1) * d / 2, y0=-(n - 1) * d / 2,
+                  z0=-(n - 1) * d / 2)
+    half = (n - 1) * d / 2
+    pml = PMLConfig(a0=20.0, l_pml=8 * d)
+    pos = cylinder_positions(n_rings=2, n_per_ring=8, radius=0.75 * half,
+                             z_span=0.5 * half)
+    acq = build_acquisition3d(grid, pos, min_angle=0.8)
+    zz = grid.z0 + grid.dz * jnp.arange(grid.nz)
+    yy = grid.y0 + grid.dy * jnp.arange(grid.ny)
+    xx = grid.x0 + grid.dx * jnp.arange(grid.nx)
+    r2 = (zz[:, None, None] ** 2 + yy[None, :, None] ** 2
+          + xx[None, None, :] ** 2)
+    vel = (c0 + 40.0 * jnp.exp(-r2 / (0.33 * half) ** 2)).astype(jnp.float32)
+    src = cpxlib.scale(source_fields_3d(acq, grid), 1e6)
+
+    def solve(s):
+        return born_gmres_solve_3d(vel, src, f, grid, pml, maxiter=400,
+                                   tol=2e-3, restart=8, spectral="auto",
+                                   spectral_precision="high", eps_scale=s)
+
+    u_ref = None
+    for scale in (1.0, 0.85, 0.7, 0.5, 0.35, 1.25):
+        run = jax.jit(lambda: solve(scale))
+        u, mv = run()  # compile
+        np.asarray(jax.device_get(u.re[0, 0, 0, :4]))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            u, mv = run()
+            np.asarray(jax.device_get(u.re[0, 0, 0, :4]))
+            best = min(best, time.perf_counter() - t0)
+        if u_ref is None:
+            u_ref = u
+        rel = jax.jit(lambda a, b: jnp.sqrt(
+            jnp.sum((a.re - b.re) ** 2 + (a.im - b.im) ** 2)
+            / jnp.sum(b.re ** 2 + b.im ** 2)))(u, u_ref)
+        print(json.dumps({
+            "eps_scale": scale,
+            "matvecs": int(np.asarray(jax.device_get(mv))),
+            "solve_s": round(best, 3),
+            "rel_diff_vs_eps1": float(np.asarray(jax.device_get(rel))),
+        }), flush=True)
 
 
 def main(n=64, d=0.75e-3):
@@ -107,4 +167,7 @@ def main(n=64, d=0.75e-3):
 
 
 if __name__ == "__main__":
-    main()
+    if "--eps" in sys.argv[1:]:
+        eps_ladder()
+    else:
+        main()

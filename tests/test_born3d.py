@@ -149,3 +149,30 @@ def test_3d_dft_spectral_matches_fft():
                                  spectral="dft")
     d = np.linalg.norm(cpx.to_numpy(u2) - cpx.to_numpy(u1))
     assert d / np.linalg.norm(cpx.to_numpy(u1)) < 1e-4
+
+
+def test_3d_gmres_eps_scale_converges_to_same_field():
+    """eps_scale reshapes only the G/V splitting (the preconditioner):
+    GMRES at the same tol converges to the same field (~tol ball) at a
+    comparable matvec count. Chip ladder: PERF_NOTES round 5 (optimum
+    ~0.85 at -6% matvecs — kept an expert knob, not a default)."""
+    from waveforminversionust_tpu.ops.born3d import born_gmres_solve_3d
+
+    c0 = 1500.0
+    f = 250e3
+    grid = Grid3D.centered(18e-3, 1.5e-3)  # 25^3
+    pml = PMLConfig(a0=20.0, l_pml=6e-3)
+    Z, Y, X = grid.meshgrid()
+    vel = (c0 + 60 * np.exp(-(X ** 2 + Y ** 2 + Z ** 2)
+                            / (2 * (4e-3) ** 2))).astype(np.float32)
+    rng = np.random.default_rng(5)
+    src = (rng.standard_normal((1,) + grid.shape)
+           + 1j * rng.standard_normal((1,) + grid.shape)).astype(np.complex64)
+
+    u1, n1 = born_gmres_solve_3d(vel, src, f, grid, pml, tol=1e-4,
+                                 maxiter=600, restart=8)
+    u085, n085 = born_gmres_solve_3d(vel, src, f, grid, pml, tol=1e-4,
+                                     maxiter=600, restart=8, eps_scale=0.85)
+    d = np.linalg.norm(cpx.to_numpy(u085) - cpx.to_numpy(u1))
+    assert d / np.linalg.norm(cpx.to_numpy(u1)) < 5e-3, d
+    assert int(n085) < 2 * int(n1), (int(n085), int(n1))

@@ -109,7 +109,8 @@ def _use_dft(shape, spectral: str) -> bool:
 def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
                      adjoint: bool = False, n_order: int = 9,
                      attenuation=None, spectral: str = "auto",
-                     shell_k0=None, spectral_precision="highest"):
+                     shell_k0=None, spectral_precision="highest",
+                     eps_scale: float = 1.0):
     """3D CBS split: k-space Green's function, potential, preconditioner.
 
     ``spectral``: "fft" (XLA fftn), "dft" (MXU matmul transform), or
@@ -184,9 +185,16 @@ def born_operator_3d(vel, f, grid: Grid3D, pml: PMLConfig,
     # k_0 / eps only shape the G/V splitting (the preconditioner): the
     # converged solution is independent of them, so gradients must not
     # flow through these nonsmooth min/max reductions (truncation noise).
+    # ``eps_scale`` rescales eps away from the classical CBS bound
+    # (eps = max|V|, the MINIMAL damping that makes the fixed point a
+    # contraction — Osnabrugge 2016). The fixed-point solver requires
+    # scale >= 1; GMRES only needs A nonsingular, and a smaller eps gives
+    # a sharper Green's function, trading fixed-point-safety for Krylov
+    # convergence speed (measured ladder: PERF_NOTES round 5).
     k_0 = jax.lax.stop_gradient((jnp.min(k.re) + jnp.max(k.re)) / 2)
     v_pot0 = Cpx(k2.re - k_0 ** 2, k2.im)
-    eps = jax.lax.stop_gradient(jnp.max(cpx.absval(v_pot0))) * sign
+    eps = (jax.lax.stop_gradient(jnp.max(cpx.absval(v_pot0)))
+           * sign * jnp.float32(eps_scale))
     v_pot = Cpx(v_pot0.re, v_pot0.im - eps)
     gamma = cpx.mul(Cpx(jnp.zeros_like(eps), 1.0 / eps), v_pot)
 
@@ -247,7 +255,8 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
                         tol: float = 1e-5, maxiter: int = 600,
                         restart: int = 16, attenuation=None,
                         spectral: str = "auto", shell_k0=None,
-                        x0: Cpx | None = None, spectral_precision="highest"):
+                        x0: Cpx | None = None, spectral_precision="highest",
+                        eps_scale: float = 1.0):
     """Krylov-accelerated 3D convergent Born series (split-complex).
 
     The 3D analog of 2D :func:`..born.born_gmres_solve`: the CBS fixed
@@ -263,6 +272,11 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
     accelerator; the Arnoldi inner products add O(restart) volume passes
     per cycle, negligible next to the FFTs.
 
+    ``eps_scale``: rescale the CBS damping eps away from the classical
+    contraction bound (fixed-point solvers need >= 1; GMRES tolerates
+    < 1 — see born_operator_3d). Measured at the 64^3 bench point:
+    PERF_NOTES round 5.
+
     Returns (wavefield Cpx (batch, nz, ny, nx), matvecs int32).
     """
     from .krylov import gmres_cpx
@@ -270,7 +284,7 @@ def born_gmres_solve_3d(vel, src, f, grid: Grid3D,
     greens, v_pot, gamma, _ = born_operator_3d(
         vel, f, grid, pml, adjoint, n_order, attenuation=attenuation,
         spectral=spectral, shell_k0=shell_k0,
-        spectral_precision=spectral_precision)
+        spectral_precision=spectral_precision, eps_scale=eps_scale)
     src = cpx.of(src)
 
     def a_op(u):
