@@ -38,6 +38,23 @@ class StepSizeFormula(enum.IntEnum):
     RESIDUAL = 1  # Re<dREC, d - u>/<dREC, dREC>  (not involving gradient)
     GRADIENT = 2  # <g, g>/<dREC, dREC>
     GRADIENT_SD = 3  # -<g, sd>/<dREC, dREC>
+    # Beyond-reference extension: Barzilai-Borwein curvature-scalar step.
+    # Formulas 1-3 all need dREC — the receiver projection of a THIRD
+    # Helmholtz solve per iteration (the linearized forward on the search
+    # direction; reference: FrequencyDomainFWI.m:149-172). BB replaces it
+    # with the quadratic-model step alpha = -sigma <g, p>/<p, p>, where
+    # sigma = <dm, dg>/<dg, dg> is the BB2 inverse-curvature estimate from
+    # the PREVIOUS iteration's (model, gradient) increments — no extra
+    # solve, cutting the iteration from 3 solves to 2. The first iteration
+    # (and any non-descent/negative-curvature fallback) runs the RESIDUAL
+    # line search under lax.cond, so only the iterations where BB is valid
+    # skip the solve. Measured (PERF_NOTES round 5): 1.11x at equal RMSE
+    # from a CALIBRATED background (the intake chain's c0), but WORSE
+    # model + non-monotone loss from a badly-wrong background (the
+    # reference's c_init=1480) where the misfit is non-quadratic and the
+    # previous-step curvature mispredicts. Use after calibrate_background_
+    # speed (or any good c0); the parity default stays RESIDUAL.
+    BB = 4
 
 
 class SolverMethod(enum.Enum):

@@ -165,9 +165,22 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         from ..ops.stencil import pml_stretch_fields
         pml_fields = pml_stretch_fields(grid, data.f, solver.pml)
 
+    # Barzilai-Borwein curvature-scalar step (StepSizeFormula.BB): skips
+    # the third (linearized line-search) solve on iterations where the
+    # BB2 curvature estimate is valid; carries the previous slowness for
+    # the (dm, dg) increments. See config.StepSizeFormula.
+    bb = fwi.step_size == StepSizeFormula.BB
+
     def step(carry, xs):
-        if frozen:
+        slow_prev = None
+        if frozen and bb:
+            state, factor_prev, slow_prev = carry
+            it, local = xs
+        elif frozen:
             state, factor_prev = carry
+            it, local = xs
+        elif bb:
+            state, slow_prev = carry
             it, local = xs
         else:
             state, it = carry, xs
@@ -267,15 +280,38 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             pert_src = cpx.scale(virt, -sd_new[None])
         else:
             pert_src = -virt * sd_new[None].astype(jnp.complex64)
-        pert = solve(op, pert_src, grid, solver,
-                     precision=DEF if solver.fast_linesearch else None)
-        drec = sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
+
+        def _linearized_step():
+            pert = solve(op, pert_src, grid, solver,
+                         precision=DEF if solver.fast_linesearch else None)
+            drec = sample_receivers(pert, data.rx_y, data.rx_x, data.rx_w)
+            formula = (StepSizeFormula.RESIDUAL if bb else fwi.step_size)
+            return _step_size(formula, drec, data.rec_obs, rec_sim,
+                              grad, sd_new, fwi.eps_stabilizer)
 
         # (7) step size & slowness update (reference: nonlinearcg.py:159,
         # 22-32; slowness stays real throughout, matching the MATLAB
         # original's real() — FrequencyDomainFWI.m:173-174)
-        step_sz = _step_size(fwi.step_size, drec, data.rec_obs, rec_sim,
-                             grad, sd_new, fwi.eps_stabilizer)
+        if bb:
+            # Quadratic-model step with the BB2 inverse-curvature scalar:
+            # alpha = -sigma <g, p>/<p, p>, sigma = <dm, dg>/<dg, dg>.
+            # Falls back to the RESIDUAL line search (one extra solve,
+            # under lax.cond so it only RUNS on those iterations) on the
+            # first iteration of a scan/chunk and whenever the estimate
+            # is invalid (non-positive curvature, ascent direction,
+            # non-finite) — e.g. right after a rejected step where dm=0.
+            dm = slow - slow_prev
+            dg = grad - gprev
+            num = jnp.sum(dm * dg)
+            sigma = num / (jnp.sum(dg * dg) + fwi.eps_stabilizer)
+            gp = jnp.sum(grad * sd_new)
+            bb_sz = -sigma * gp / (jnp.sum(sd_new * sd_new)
+                                   + fwi.eps_stabilizer)
+            valid = ((local > 0) & (num > 0) & (gp < 0)
+                     & jnp.isfinite(bb_sz))
+            step_sz = jax.lax.cond(valid, lambda: bb_sz, _linearized_step)
+        else:
+            step_sz = _linearized_step()
         slow_new = slow + step_sz * sd_new
         vel_new = 1.0 / slow_new
 
@@ -295,8 +331,12 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
         new_state = CGState(vel_new, slow_new, sd_new, grad, wv, adj_wv)
+        if frozen and bb:
+            return (new_state, factor, slow), metrics
         if frozen:
             return (new_state, factor), metrics
+        if bb:
+            return (new_state, slow), metrics
         return new_state, metrics
 
     return step
@@ -370,8 +410,18 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
 
         fshape = jax.eval_shape(_mk_factor, vel0)
         factor0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fshape)
+        if fwi.step_size == StepSizeFormula.BB:
+            (final, _, _), metrics = jax.lax.scan(
+                step, (state, factor0, state.slowness),
+                (its, jnp.arange(n_iter)))
+        else:
+            (final, _), metrics = jax.lax.scan(
+                step, (state, factor0), (its, jnp.arange(n_iter)))
+    elif fwi.step_size == StepSizeFormula.BB:
+        # BB carries the previous slowness; the zero-history first local
+        # iteration runs the linearized fallback (see make_cg_step).
         (final, _), metrics = jax.lax.scan(
-            step, (state, factor0), (its, jnp.arange(n_iter)))
+            step, (state, state.slowness), (its, jnp.arange(n_iter)))
     else:
         final, metrics = jax.lax.scan(step, state, its)
     def _parts(fld):
