@@ -495,7 +495,11 @@ def main(argv=None):
                          "PERF_NOTES round 3)")
     pr.add_argument("--momentum", type=int, default=4,
                     help="0=GD 1=FR 2=PR 3=PR^FR 4=HS")
-    pr.add_argument("--step-formula", type=int, default=1, help="1|2|3")
+    pr.add_argument("--step-formula", type=int, default=1,
+                    help="1|2|3 (reference linearized line searches) | 4 "
+                         "(BB curvature-scalar: skips the third solve per "
+                         "iteration, 1.11x — use with --calibrate or a good "
+                         "--c-init; PERF_NOTES round 5)")
     pr.add_argument("--frequencies", nargs="*", type=float, default=None,
                     help="multi-frequency continuation schedule [Hz]")
     pr.add_argument("--checkpoint-dir", default=None)
