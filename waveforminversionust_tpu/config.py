@@ -52,8 +52,11 @@ class StepSizeFormula(enum.IntEnum):
     # from a CALIBRATED background (the intake chain's c0), but WORSE
     # model + non-monotone loss from a badly-wrong background (the
     # reference's c_init=1480) where the misfit is non-quadratic and the
-    # previous-step curvature mispredicts. Use after calibrate_background_
-    # speed (or any good c0); the parity default stays RESIDUAL.
+    # previous-step curvature mispredicts; ALSO degrades the illumination-
+    # preconditioned intake chain (4.18 -> 6.82 m/s — the preconditioner
+    # rescales the geometry the curvature scalar lives in). Use on plain
+    # CG after calibrate_background_speed (or any good c0); the parity
+    # default stays RESIDUAL everywhere.
     BB = 4
 
 
