@@ -713,3 +713,40 @@ def test_chunked_cg_matches_single_scan():
     # beta is NOT asserted: this toy converges to the f32 floor within 2
     # iterations, where the HS denominator is rounding noise (NaN in one
     # program, tiny in the other — both guarded by reject_nonfinite).
+
+
+def test_tiny_3d_bb_step_reduces_misfit():
+    """StepSizeFormula.BB in the 3D loop (skips the line-search GMRES
+    solve on valid-curvature iterations; composes with the warm-start
+    carry): finite, decreasing misfit from the correct background — BB's
+    valid regime (PERF_NOTES round 5)."""
+    from waveforminversionust_tpu.config import StepSizeFormula
+
+    grid, acq, vel_true, data = _problem()
+    # One-hot-scale denormal pitfall: keep |rhs|^2 in f32's normal range
+    # (same scaling as test_tiny_3d_gmres_inversion_reduces_misfit).
+    data = data._replace(src=cpx.scale(data.src, 1e6),
+                         rec_obs=cpx.scale(data.rec_obs, 1e6))
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=3, estimate_source_strength=False,
+                    clip_velocity=(C0 - 100.0, C0 + 100.0),
+                    step_size=StepSizeFormula.BB)
+    vel, metrics = nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML,
+                                   iter_cap=120, solver3d="gmres",
+                                   gmres_tol=1e-4)
+    losses = np.asarray(metrics.loss)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < 0.9 * losses[0], losses
+    c = tuple(s // 2 for s in grid.shape)
+    assert float(vel[c]) > C0
+
+
+def test_3d_bb_rejects_encoding():
+    from waveforminversionust_tpu.config import StepSizeFormula
+
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    fwi = FWIConfig(num_iterations=1, step_size=StepSizeFormula.BB)
+    with pytest.raises(ValueError, match="encode"):
+        nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML, iter_cap=60,
+                        encode=2)

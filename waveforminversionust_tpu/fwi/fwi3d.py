@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FWIConfig, PMLConfig
+from ..config import FWIConfig, PMLConfig, StepSizeFormula
 from ..models.acquisition3d import Acquisition3D, source_fields_3d
 from ..models.grid3d import Grid3D
 from ..ops import cpx
@@ -443,12 +443,21 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
               gmres_restart=gmres_restart, spectral=spectral, encode=encode,
               encode_seed=encode_seed, warm_start=warm_start,
               spectral_precision=spectral_precision)
+    if fwi.step_size == StepSizeFormula.BB and encode:
+        raise ValueError(
+            "step_size=BB is incompatible with encode=: the encoded "
+            "gradient is stochastic (fresh code each iteration), so the "
+            "previous-iteration curvature estimate is noise")
     vel0 = jnp.asarray(vel_init, jnp.float32)
     zeros = jnp.zeros(grid.shape, jnp.float32)
     state = (vel0, 1.0 / vel0, zeros, zeros)
     if warm_start:
         zf = Cpx(jnp.zeros_like(data.src.re), jnp.zeros_like(data.src.im))
         state = state + ((zf, zf, zf),)
+    if fwi.step_size == StepSizeFormula.BB:
+        # BB carries the previous slowness (see the step body); the
+        # zero-history first local iteration runs the linearized fallback.
+        state = state + (1.0 / vel0,)
     if chunk_iterations is None or chunk_iterations >= n_iter:
         state, metrics = _nonlinear_cg_3d_jit(
             state, data, num_iterations=n_iter, it0=jnp.int32(0), **kw)
@@ -486,10 +495,20 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
                            spectral=spectral,
                            spectral_precision=spectral_precision)
     ntx = data.src.re.shape[0]
+    # BB curvature-scalar step: same contract as the 2D loop (see
+    # config.StepSizeFormula.BB and optimizers.make_cg_step) — skips the
+    # line-search solve on iterations where the BB2 estimate is valid.
+    bb = fwi.step_size == StepSizeFormula.BB
 
     def step(state, it):
-        if warm_start:
+        slow_prev = None
+        if warm_start and bb:
+            vel, slow, sd, gprev, warm, slow_prev = state
+        elif warm_start:
             vel, slow, sd, gprev, warm = state
+        elif bb:
+            vel, slow, sd, gprev, slow_prev = state
+            warm = None
         else:
             vel, slow, sd, gprev = state
             warm = None
@@ -518,18 +537,52 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
         # Linearized line search: third solve with the perturbation source
         # -virt * sd (reference: nonlinearcg.py:140-159).
         pert_src = cpx.mul(virt, Cpx(-sd_new[None], jnp.zeros_like(sd_new)[None]))
-        if warm is None:
-            pert, _ = solve(vel, pert_src, data_it.f,
-                            attenuation=data_it.attenuation)
+
+        def _lin_step():
+            if warm is None:
+                pert, _ = solve(vel, pert_src, data_it.f,
+                                attenuation=data_it.attenuation)
+            else:
+                pert, _ = solve(vel, pert_src, data_it.f,
+                                attenuation=data_it.attenuation,
+                                x0=_warm_x0(warm[2], pert_src))
+            drec = sample_receivers_3d(pert, data_it.rx_idx)
+            # Full 3-formula step matrix, shared with the 2D loop
+            # (reference: FrequencyDomainFWI.m:42-45, 149-172).
+            formula = (StepSizeFormula.RESIDUAL if bb else fwi.step_size)
+            sz = _step_size(formula, drec, data_it.rec_obs, rec_sim,
+                            grad, sd_new, fwi.eps_stabilizer)
+            if warm is None:
+                return sz
+            return sz, _warm_carry(pert, pert_src)
+
+        if bb:
+            # Quadratic-model BB2 step (see optimizers.make_cg_step); the
+            # line-search GMRES solve runs only inside the fallback cond
+            # branch (first iteration of a scan/chunk, invalid curvature).
+            # The warm line-search carry is left unchanged on BB
+            # iterations (still a valid RHS-normalized previous solution).
+            dm = slow - slow_prev
+            dg = grad - gprev
+            num = jnp.sum(dm * dg)
+            sigma = num / (jnp.sum(dg * dg) + fwi.eps_stabilizer)
+            gp = jnp.sum(grad * sd_new)
+            bb_sz = -sigma * gp / (jnp.sum(sd_new * sd_new)
+                                   + fwi.eps_stabilizer)
+            valid = ((it > it0) & (num > 0) & (gp < 0)
+                     & jnp.isfinite(bb_sz))
+            if warm is None:
+                step_sz = jax.lax.cond(valid, lambda: bb_sz, _lin_step)
+                pert_carry = None
+            else:
+                step_sz, pert_carry = jax.lax.cond(
+                    valid, lambda: (bb_sz, warm[2]), _lin_step)
         else:
-            pert, _ = solve(vel, pert_src, data_it.f,
-                            attenuation=data_it.attenuation,
-                            x0=_warm_x0(warm[2], pert_src))
-        drec = sample_receivers_3d(pert, data_it.rx_idx)
-        # Full 3-formula step matrix, shared with the 2D loop (reference:
-        # FrequencyDomainFWI.m:42-45, 149-172).
-        step_sz = _step_size(fwi.step_size, drec, data_it.rec_obs, rec_sim,
-                             grad, sd_new, fwi.eps_stabilizer)
+            if warm is None:
+                step_sz = _lin_step()
+                pert_carry = None
+            else:
+                step_sz, pert_carry = _lin_step()
 
         slow_new = slow + step_sz * sd_new
         vel_new = 1.0 / slow_new
@@ -549,8 +602,9 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
                             beta=beta, step_size=step_sz)
         new_state = (vel_new, slow_new, sd_new, grad)
         if warm is not None:
-            new_state = new_state + (
-                (warm_fa[0], warm_fa[1], _warm_carry(pert, pert_src)),)
+            new_state = new_state + ((warm_fa[0], warm_fa[1], pert_carry),)
+        if bb:
+            new_state = new_state + (slow,)
         return new_state, metrics
 
     state, metrics = jax.lax.scan(step, state, it0 + jnp.arange(n_iter))
