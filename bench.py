@@ -269,9 +269,19 @@ def bench_3d_setup(ctx, n: int = 64, d: float = 0.75e-3):
     vel0 = jnp.full(grid.shape, c0, jnp.float32)
     fwi = FWIConfig(num_iterations=2,
                     clip_velocity=(c0 - 100.0, c0 + 100.0))
+    # Production-tuned 3D warm configuration (PERF_NOTES round 5): BB
+    # curvature-scalar step (skips the line-search solve on valid
+    # iterations) + the nonmonotone watchdog (reverts truncation-floor
+    # mispredictions; equal final RMSE 3.396 vs 3.406, 1.09-1.43x).
+    from waveforminversionust_tpu import StepSizeFormula
+    fwi_warm = FWIConfig(num_iterations=2,
+                         clip_velocity=(c0 - 100.0, c0 + 100.0),
+                         step_size=StepSizeFormula.BB,
+                         reject_increase=1.5)
 
     def run_and_sync(num_it, warm):
-        vel, metrics = nonlinear_cg_3d(vel0, data, grid, fwi, pml=pml,
+        vel, metrics = nonlinear_cg_3d(vel0, data, grid,
+                                       fwi_warm if warm else fwi, pml=pml,
                                        num_iterations=num_it,
                                        iter_cap=400, solver3d="gmres",
                                        spectral=spectral, warm_start=warm)
@@ -321,11 +331,15 @@ def bench_3d_cold(record, ctx):
 
 
 def bench_3d_warm(record, ctx):
-    """Production steady-state: warm_start="auto" (on) carries each solve's
-    field into the next iteration's GMRES x0 (PERF_NOTES round 4). Timed
+    """Production steady-state: carried warm starts (each solve's field
+    seeds the next iteration's GMRES x0, PERF_NOTES round 4) + the BB
+    curvature-scalar step under the nonmonotone watchdog (PERF_NOTES
+    round 5: line-search solves skipped on valid-curvature iterations,
+    truncation-floor mispredictions reverted; equal final RMSE). Timed
     over 4 iterations so the cold first iteration doesn't dominate; no
-    flop/MFU claims here — warm solves do fewer (uncounted) matvecs, so
-    pricing them at the cold count would overstate utilization."""
+    flop/MFU claims here — warm/BB iterations do fewer (uncounted)
+    matvecs, so pricing them at the cold count would overstate
+    utilization."""
     run_and_sync = ctx["run_and_sync"]
     n_warm = 4
     run_and_sync(n_warm, True)
@@ -334,11 +348,11 @@ def bench_3d_warm(record, ctx):
         t0 = time.perf_counter()
         _, loss = run_and_sync(n_warm, True)
         elapsed_w = min(elapsed_w, time.perf_counter() - t0)
-        # Divergence guard only: near the solver-truncation floor warm
-        # trajectories are tolerance noise (PERF_NOTES round 4), so a
-        # strict monotone check would false-alarm; the cold phase already
-        # asserts the strict decrease.
-        assert np.all(np.isfinite(loss)) and loss[-1] <= 1.5 * loss[0], loss
+        # Progress guard, watchdog-aware: the recorded loss history shows
+        # any BB misstep spike BEFORE the watchdog's revert (the model
+        # itself is restored), so assert finiteness + real progress at
+        # the best iterate rather than monotonicity or the last sample.
+        assert np.all(np.isfinite(loss)) and np.min(loss) <= 0.5 * loss[0], loss
     record["sec_per_iter_3d_warm_start"] = round(elapsed_w / n_warm, 3)
 
 

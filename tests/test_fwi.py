@@ -600,3 +600,31 @@ class TestJointMultifreqRunner:
         assert np.all(np.isfinite(losses))
         assert losses[-1] < 0.5 * losses[0], losses
         assert res.frequencies == (150e3, 250e3)
+
+
+class TestWatchdog:
+    def test_watchdog_neutral_when_clean(self, problem):
+        """FWIConfig.reject_increase: on a clean monotone run the watchdog
+        never triggers — trajectory identical to the unguarded run; also
+        composes with BB and the frozen-factor carry (PERF_NOTES r5)."""
+        grid, data, _ = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        r0 = nonlinear_cg(vel0, data, grid, SOLVER,
+                          FWIConfig(num_iterations=4))
+        r1 = nonlinear_cg(vel0, data, grid, SOLVER,
+                          FWIConfig(num_iterations=4, reject_increase=1.5))
+        np.testing.assert_allclose(np.asarray(r1.velocity),
+                                   np.asarray(r0.velocity), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r1.metrics.loss),
+                                   np.asarray(r0.metrics.loss), rtol=1e-6)
+
+    def test_watchdog_with_bb_and_frozen(self):
+        grid, data, solver = TestFrozenFactor()._split_problem()
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        res = nonlinear_cg(
+            vel0, data, grid,
+            dataclasses.replace(solver, refactor_every=2),
+            FWIConfig(num_iterations=4, step_size=StepSizeFormula.BB,
+                      reject_increase=1.5))
+        losses = np.asarray(res.metrics.loss)
+        assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]

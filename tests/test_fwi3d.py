@@ -750,3 +750,32 @@ def test_3d_bb_rejects_encoding():
     with pytest.raises(ValueError, match="encode"):
         nonlinear_cg_3d(vel0, data, grid, fwi, pml=PML, iter_cap=60,
                         encode=2)
+
+
+def test_3d_watchdog_neutral_when_clean():
+    """FWIConfig.reject_increase: on a clean (monotone) run the watchdog
+    never triggers and the trajectory is IDENTICAL to the unguarded run;
+    composes with BB + warm start (PERF_NOTES round 5)."""
+    from waveforminversionust_tpu.config import StepSizeFormula
+
+    grid, acq, vel_true, data = _problem()
+    data = data._replace(src=cpx.scale(data.src, 1e6),
+                         rec_obs=cpx.scale(data.rec_obs, 1e6))
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    base = dict(num_iterations=3, estimate_source_strength=False,
+                clip_velocity=(C0 - 100.0, C0 + 100.0))
+    kw = dict(pml=PML, iter_cap=120, solver3d="gmres", gmres_tol=1e-4)
+    v0_, m0 = nonlinear_cg_3d(vel0, data, grid, FWIConfig(**base), **kw)
+    v1_, m1 = nonlinear_cg_3d(vel0, data, grid,
+                              FWIConfig(**base, reject_increase=1.5), **kw)
+    np.testing.assert_allclose(np.asarray(v1_), np.asarray(v0_), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1.loss), np.asarray(m0.loss),
+                               rtol=1e-6)
+    # BB + watchdog: runs, finite, and ends no worse than it started.
+    vb, mb = nonlinear_cg_3d(
+        vel0, data, grid,
+        FWIConfig(**base, step_size=StepSizeFormula.BB,
+                  reject_increase=1.5), **kw)
+    lb = np.asarray(mb.loss)
+    assert np.all(np.isfinite(lb))
+    assert lb[-1] < lb[0], lb

@@ -293,6 +293,17 @@ class FWIConfig:
     # stabilizers are commented out and division by ~0 is possible at
     # convergence, nonlinearcg.py:28,133):
     reject_nonfinite: bool = True  # skip an update that would produce NaN/inf
+    # Nonmonotone watchdog (CG loops, 2D + 3D): when set, an iteration
+    # whose misfit exceeds reject_increase x the previous iteration's is
+    # treated as a MISstep — the model reverts to the previous iterate,
+    # the CG recurrence restarts (beta forced to 0 next iteration), and
+    # the loss baseline keeps the pre-spike value. One iteration's solves
+    # are sacrificed per trigger. With step_size=BB the revert zeroes the
+    # (dm, dg) increments, so the next step automatically falls back to
+    # the exact line search — together they make BB safe near the solver
+    # truncation floor (measured: PERF_NOTES round 5). None = off (the
+    # reference has no such guard; its loss may spike silently).
+    reject_increase: Optional[float] = None  # e.g. 1.5
     clip_velocity: Optional[Tuple[float, float]] = None  # physical bounds [m/s]
     # Model-space regularization (absent from the reference; see
     # fwi.regularization for the per-optimizer weighting conventions).

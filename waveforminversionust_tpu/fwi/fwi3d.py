@@ -454,10 +454,15 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
     if warm_start:
         zf = Cpx(jnp.zeros_like(data.src.re), jnp.zeros_like(data.src.im))
         state = state + ((zf, zf, zf),)
-    if fwi.step_size == StepSizeFormula.BB:
-        # BB carries the previous slowness (see the step body); the
-        # zero-history first local iteration runs the linearized fallback.
+    if fwi.step_size == StepSizeFormula.BB or fwi.reject_increase is not None:
+        # BB and the watchdog carry the previous slowness (see the step
+        # body); the zero-history first local iteration runs the
+        # linearized fallback / cannot trigger the watchdog.
         state = state + (1.0 / vel0,)
+    if fwi.reject_increase is not None:
+        # (loss baseline, restart flag): +inf baseline means the first
+        # iteration can never read as a spike.
+        state = state + ((jnp.float32(jnp.inf), jnp.asarray(False)),)
     if chunk_iterations is None or chunk_iterations >= n_iter:
         state, metrics = _nonlinear_cg_3d_jit(
             state, data, num_iterations=n_iter, it0=jnp.int32(0), **kw)
@@ -499,19 +504,18 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
     # config.StepSizeFormula.BB and optimizers.make_cg_step) — skips the
     # line-search solve on iterations where the BB2 estimate is valid.
     bb = fwi.step_size == StepSizeFormula.BB
+    # Nonmonotone watchdog (FWIConfig.reject_increase): carries the
+    # previous slowness (shared with BB), the loss baseline and a restart
+    # flag; a loss spike reverts the model and restarts the recurrence.
+    guard = fwi.reject_increase is not None
 
     def step(state, it):
-        slow_prev = None
-        if warm_start and bb:
-            vel, slow, sd, gprev, warm, slow_prev = state
-        elif warm_start:
-            vel, slow, sd, gprev, warm = state
-        elif bb:
-            vel, slow, sd, gprev, slow_prev = state
-            warm = None
-        else:
-            vel, slow, sd, gprev = state
-            warm = None
+        rest = list(state)
+        vel, slow, sd, gprev = rest[:4]
+        rest = rest[4:]
+        warm = rest.pop(0) if warm_start else None
+        slow_prev = rest.pop(0) if (bb or guard) else None
+        prev_loss, restart_prev = rest.pop(0) if guard else (None, None)
         if encode:
             code = jax.random.rademacher(
                 jax.random.fold_in(jax.random.PRNGKey(encode_seed), it),
@@ -532,6 +536,10 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
 
         beta = _momentum(fwi.momentum, it, grad, gprev, sd,
                          fwi.eps_stabilizer)
+        if guard:
+            # A watchdog restart on the previous iteration invalidates the
+            # carried recurrence: force a steepest-descent restart.
+            beta = jnp.where(restart_prev, 0.0, beta)
         sd_new = beta * sd - grad
 
         # Linearized line search: third solve with the perturbation source
@@ -598,13 +606,29 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
             sd_new = jnp.where(ok, sd_new, sd)
             step_sz = jnp.where(ok, step_sz, 0.0)
 
+        slow_next_prev = slow
+        if guard:
+            # Watchdog: this iteration's loss (misfit at the CURRENT
+            # model) spiking past the baseline means the PREVIOUS update
+            # was a misstep — revert to the pre-misstep iterate, keep the
+            # pre-spike loss baseline, and flag a recurrence restart.
+            # With BB, the revert makes the next (dm, dg) zero, so the
+            # next step automatically takes the exact line search.
+            bad = loss > jnp.float32(fwi.reject_increase) * prev_loss
+            slow_new = jnp.where(bad, slow_prev, slow_new)
+            vel_new = jnp.where(bad, 1.0 / slow_prev, vel_new)
+            slow_next_prev = jnp.where(bad, slow_prev, slow)
+            prev_loss_new = jnp.where(bad, prev_loss, loss)
+
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
         new_state = (vel_new, slow_new, sd_new, grad)
         if warm is not None:
             new_state = new_state + ((warm_fa[0], warm_fa[1], pert_carry),)
-        if bb:
-            new_state = new_state + (slow,)
+        if bb or guard:
+            new_state = new_state + (slow_next_prev,)
+        if guard:
+            new_state = new_state + ((prev_loss_new, bad),)
         return new_state, metrics
 
     state, metrics = jax.lax.scan(step, state, it0 + jnp.arange(n_iter))

@@ -170,18 +170,24 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
     # BB2 curvature estimate is valid; carries the previous slowness for
     # the (dm, dg) increments. See config.StepSizeFormula.
     bb = fwi.step_size == StepSizeFormula.BB
+    # Nonmonotone watchdog (FWIConfig.reject_increase): carries the
+    # previous slowness (shared with BB), the loss baseline and a restart
+    # flag; a loss spike reverts the model and restarts the recurrence.
+    guard = fwi.reject_increase is not None
+    xtra = frozen or bb or guard  # carry is a tuple; xs carries local idx
 
     def step(carry, xs):
-        slow_prev = None
-        if frozen and bb:
-            state, factor_prev, slow_prev = carry
+        factor_prev = slow_prev = prev_loss = restart_prev = None
+        if xtra:
             it, local = xs
-        elif frozen:
-            state, factor_prev = carry
-            it, local = xs
-        elif bb:
-            state, slow_prev = carry
-            it, local = xs
+            parts = list(carry)
+            state = parts.pop(0)
+            if frozen:
+                factor_prev = parts.pop(0)
+            if bb or guard:
+                slow_prev = parts.pop(0)
+            if guard:
+                prev_loss, restart_prev = parts.pop(0)
         else:
             state, it = carry, xs
         vel, slow, sd, gprev = (state.velocity, state.slowness,
@@ -272,6 +278,10 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 
         # (5) momentum & search direction (reference: nonlinearcg.py:129-138)
         beta = _momentum(fwi.momentum, it, grad, gprev, sd, fwi.eps_stabilizer)
+        if guard:
+            # A watchdog restart on the previous iteration invalidates the
+            # carried recurrence: force a steepest-descent restart.
+            beta = jnp.where(restart_prev, 0.0, beta)
         sd_new = beta * sd - grad
 
         # (6) forward-project the search direction
@@ -328,16 +338,33 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
             sd_new = jnp.where(ok, sd_new, sd)
             step_sz = jnp.where(ok, step_sz, 0.0)
 
+        slow_next_prev = slow
+        if guard:
+            # Watchdog: this iteration's loss (misfit at the CURRENT
+            # model) spiking past the baseline means the PREVIOUS update
+            # was a misstep — revert to the pre-misstep iterate, keep the
+            # pre-spike loss baseline, and flag a recurrence restart.
+            # With BB, the revert makes the next (dm, dg) zero, so the
+            # next step automatically takes the exact line search.
+            bad = loss > jnp.float32(fwi.reject_increase) * prev_loss
+            slow_new = jnp.where(bad, slow_prev, slow_new)
+            vel_new = jnp.where(bad, 1.0 / slow_prev, vel_new)
+            slow_next_prev = jnp.where(bad, slow_prev, slow)
+            prev_loss_new = jnp.where(bad, prev_loss, loss)
+
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
         new_state = CGState(vel_new, slow_new, sd_new, grad, wv, adj_wv)
-        if frozen and bb:
-            return (new_state, factor, slow), metrics
+        if not xtra:
+            return new_state, metrics
+        out = [new_state]
         if frozen:
-            return (new_state, factor), metrics
-        if bb:
-            return (new_state, slow), metrics
-        return new_state, metrics
+            out.append(factor)
+        if bb or guard:
+            out.append(slow_next_prev)
+        if guard:
+            out.append((prev_loss_new, bad))
+        return tuple(out), metrics
 
     return step
 
@@ -395,6 +422,7 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
     step = make_cg_step(data, grid, solver, fwi, mesh=mesh,
                         grid_axis=grid_axis)
     its = jnp.arange(n_iter) + jnp.asarray(iteration_offset, jnp.int32)
+    aux = []
     if solver.refactor_every > 1:
         # Frozen-factor CG: the scan carry holds the banded factor. The
         # zero-initialized carry is never consumed — the step forces a
@@ -409,19 +437,21 @@ def nonlinear_cg(vel_init, data: FWIData, grid: Grid2D,
             return _factor_cpx(c, solver)
 
         fshape = jax.eval_shape(_mk_factor, vel0)
-        factor0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fshape)
-        if fwi.step_size == StepSizeFormula.BB:
-            (final, _, _), metrics = jax.lax.scan(
-                step, (state, factor0, state.slowness),
-                (its, jnp.arange(n_iter)))
-        else:
-            (final, _), metrics = jax.lax.scan(
-                step, (state, factor0), (its, jnp.arange(n_iter)))
-    elif fwi.step_size == StepSizeFormula.BB:
-        # BB carries the previous slowness; the zero-history first local
-        # iteration runs the linearized fallback (see make_cg_step).
-        (final, _), metrics = jax.lax.scan(
-            step, (state, state.slowness), (its, jnp.arange(n_iter)))
+        aux.append(jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                fshape))
+    if (fwi.step_size == StepSizeFormula.BB
+            or fwi.reject_increase is not None):
+        # BB and the watchdog carry the previous slowness; the
+        # zero-history first local iteration runs the linearized fallback
+        # / cannot trigger the watchdog (see make_cg_step).
+        aux.append(state.slowness)
+    if fwi.reject_increase is not None:
+        # (loss baseline, restart flag): +inf baseline means the first
+        # iteration can never read as a spike.
+        aux.append((jnp.float32(jnp.inf), jnp.asarray(False)))
+    if aux:
+        (final, *_), metrics = jax.lax.scan(
+            step, (state, *aux), (its, jnp.arange(n_iter)))
     else:
         final, metrics = jax.lax.scan(step, state, its)
     def _parts(fld):
