@@ -124,6 +124,7 @@ def _cmd_run(args):
     fwi = FWIConfig(c_init=args.c_init, num_iterations=args.iterations,
                     momentum=MomentumFormula(args.momentum),
                     step_size=StepSizeFormula(args.step_formula),
+                    reject_increase=args.reject_increase,
                     reg_tikhonov=args.reg_tikhonov, reg_tv=args.reg_tv,
                     precondition=args.precondition,
                     precondition_eps=args.precondition_eps)
@@ -495,6 +496,12 @@ def main(argv=None):
                          "PERF_NOTES round 3)")
     pr.add_argument("--momentum", type=int, default=4,
                     help="0=GD 1=FR 2=PR 3=PR^FR 4=HS")
+    pr.add_argument("--reject-increase", type=float, default=None,
+                    metavar="R",
+                    help="nonmonotone watchdog: revert an iteration whose "
+                         "misfit exceeds R x the previous baseline and "
+                         "restart the CG recurrence (e.g. 1.5; neutral on "
+                         "clean runs — PERF_NOTES round 5)")
     pr.add_argument("--step-formula", type=int, default=1,
                     help="1|2|3 (reference linearized line searches) | 4 "
                          "(BB curvature-scalar: skips the third solve per "
