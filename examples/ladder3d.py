@@ -62,14 +62,21 @@ def eps_ladder(n=64, d=0.75e-3):
     vel = (c0 + 40.0 * jnp.exp(-r2 / (0.33 * half) ** 2)).astype(jnp.float32)
     src = cpxlib.scale(source_fields_3d(acq, grid), 1e6)
 
-    def solve(s):
-        return born_gmres_solve_3d(vel, src, f, grid, pml, maxiter=400,
+    # vel/src as jit ARGUMENTS (closure constants would serialize ~34 MB
+    # into each program for the remote compiler); eps_scale stays static
+    # (it feeds stop_gradient'd scalars that shape the compiled operator).
+    def solve(v, s, scale):
+        return born_gmres_solve_3d(v, s, f, grid, pml, maxiter=400,
                                    tol=2e-3, restart=8, spectral="auto",
-                                   spectral_precision="high", eps_scale=s)
+                                   spectral_precision="high",
+                                   eps_scale=scale)
+
+    solve_jit = jax.jit(solve, static_argnames=("scale",))
 
     u_ref = None
     for scale in (1.0, 0.85, 0.7, 0.5, 0.35, 1.25):
-        run = jax.jit(lambda: solve(scale))
+        def run():
+            return solve_jit(vel, src, scale)
         u, mv = run()  # compile
         np.asarray(jax.device_get(u.re[0, 0, 0, :4]))
         best = float("inf")

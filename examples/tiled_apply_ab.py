@@ -1,13 +1,17 @@
-"""y-tiled fused apply vs jnp 9-copy apply: the chip A/B past 704^2.
+"""y-tiled fused apply vs jnp apply: the chip A/B past 704^2.
 
 Round-5 adopt-or-reject measurement for the y-tiled fused operator-apply
 kernel (ops/pallas_stencil.py::h_apply_tiled_cpx). The whole-field fused
 kernel's measured VMEM ceiling is 704^2 (fused_apply_fits), so before
 this kernel the 801^2+ refinement passes and GMRES matvecs fell back to
-the jnp apply's nine materialized shifted copies per component (~9x the
-one-pass HBM traffic; utils.flops.h_apply_cost prices 288 vs 32
-B/point/RHS) at exactly the scales where the solve already runs near the
-HBM roofline (48% at 801^2, PERF_NOTES round-4 table).
+the jnp apply. The hypothesis going in — that the jnp apply materializes
+nine shifted copies per component (~9x one-pass traffic) — was DISPROVED
+by this measurement: XLA fuses it into one streamed pass, so the Pallas
+kernels win on lane-alignment efficiency at misaligned (odd production)
+widths, not on bytes. utils.flops.h_apply_cost now prices both forms
+identically (the hypothetical 9-copy bound survives as
+materialized=True); the PERF_NOTES round-5 ledger entry has the outcome
+and the empirical auto gate it produced.
 
 Two modes (results print incrementally as JSON lines):
 

@@ -628,3 +628,30 @@ class TestWatchdog:
                       reject_increase=1.5))
         losses = np.asarray(res.metrics.loss)
         assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+    def test_watchdog_rejects_nonratio_threshold(self, problem):
+        grid, data, _ = problem
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        with pytest.raises(ValueError, match="reject_increase must be > 1"):
+            nonlinear_cg(vel0, data, grid, SOLVER,
+                         FWIConfig(num_iterations=1, reject_increase=0.9))
+
+    def test_multifreq_rejects_bb_and_watchdog(self, problem):
+        """The joint multi-frequency loop supports neither BB nor the
+        watchdog; both fail fast with actionable errors instead of an
+        obscure trace-time message (round-5 review finding)."""
+        import jax.numpy as jnp
+        from waveforminversionust_tpu.fwi.multifreq import (
+            nonlinear_cg_multifreq, stack_frequencies)
+        grid, data, _ = problem
+        mf = stack_frequencies([data])
+        vel0 = jnp.full(grid.shape, C0, jnp.float32)
+        with pytest.raises(ValueError, match="not supported by the joint"):
+            nonlinear_cg_multifreq(
+                vel0, mf, grid, SOLVER,
+                FWIConfig(num_iterations=1,
+                          step_size=StepSizeFormula.BB))
+        with pytest.raises(ValueError, match="watchdog"):
+            nonlinear_cg_multifreq(
+                vel0, mf, grid, SOLVER,
+                FWIConfig(num_iterations=1, reject_increase=1.5))

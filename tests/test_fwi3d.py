@@ -779,3 +779,16 @@ def test_3d_watchdog_neutral_when_clean():
     lb = np.asarray(mb.loss)
     assert np.all(np.isfinite(lb))
     assert lb[-1] < lb[0], lb
+
+
+def test_3d_watchdog_rejects_encoding_and_bad_ratio():
+    grid, acq, vel_true, data = _problem()
+    vel0 = jnp.full(grid.shape, C0, jnp.float32)
+    with pytest.raises(ValueError, match="reject_increase must be > 1"):
+        nonlinear_cg_3d(vel0, data, grid,
+                        FWIConfig(num_iterations=1, reject_increase=1.0),
+                        pml=PML, iter_cap=60)
+    with pytest.raises(ValueError, match="incompatible with encode"):
+        nonlinear_cg_3d(vel0, data, grid,
+                        FWIConfig(num_iterations=1, reject_increase=1.5),
+                        pml=PML, iter_cap=60, encode=2)

@@ -33,7 +33,9 @@ from ..ops.born3d import born_series_solve_3d
 from ..ops.cpx import Cpx
 from .objective import (estimate_source_strengths, illumination_map, misfit,
                         precondition_gradient)
-from .optimizers import CGMetrics, _momentum, _step_size
+from .optimizers import (CGMetrics, _bb_step_size, _momentum,
+                         _step_size, _validate_watchdog,
+                         _watchdog_apply)
 
 
 class FWIData3D(NamedTuple):
@@ -413,6 +415,20 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
         # (ops.born3d) keep their own "highest" default — data synthesis
         # must not share the inversion's precision shortcut.
         spectral_precision = "high"
+    if fwi.step_size == StepSizeFormula.BB and encode:
+        raise ValueError(
+            "step_size=BB is incompatible with encode=: the encoded "
+            "gradient is stochastic (fresh code each iteration), so the "
+            "previous-iteration curvature estimate is noise")
+    _validate_watchdog(fwi)
+    if fwi.reject_increase is not None:
+        if encode:
+            raise ValueError(
+                "reject_increase (the nonmonotone watchdog) is "
+                "incompatible with encode=: the encoded misfit is a fresh "
+                "random projection each iteration, so consecutive-loss "
+                "ratios fluctuate without any misstep and the watchdog "
+                "would revert good updates")
     if warm_start == "auto":
         warm_start = (solver3d == "gmres" and mesh is None and not encode)
     elif warm_start:
@@ -443,11 +459,6 @@ def nonlinear_cg_3d(vel_init, data: FWIData3D, grid: Grid3D,
               gmres_restart=gmres_restart, spectral=spectral, encode=encode,
               encode_seed=encode_seed, warm_start=warm_start,
               spectral_precision=spectral_precision)
-    if fwi.step_size == StepSizeFormula.BB and encode:
-        raise ValueError(
-            "step_size=BB is incompatible with encode=: the encoded "
-            "gradient is stochastic (fresh code each iteration), so the "
-            "previous-iteration curvature estimate is noise")
     vel0 = jnp.asarray(vel_init, jnp.float32)
     zeros = jnp.zeros(grid.shape, jnp.float32)
     state = (vel0, 1.0 / vel0, zeros, zeros)
@@ -565,20 +576,14 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
             return sz, _warm_carry(pert, pert_src)
 
         if bb:
-            # Quadratic-model BB2 step (see optimizers.make_cg_step); the
+            # BB2 quadratic-model step (shared helper _bb_step_size); the
             # line-search GMRES solve runs only inside the fallback cond
-            # branch (first iteration of a scan/chunk, invalid curvature).
-            # The warm line-search carry is left unchanged on BB
-            # iterations (still a valid RHS-normalized previous solution).
-            dm = slow - slow_prev
-            dg = grad - gprev
-            num = jnp.sum(dm * dg)
-            sigma = num / (jnp.sum(dg * dg) + fwi.eps_stabilizer)
-            gp = jnp.sum(grad * sd_new)
-            bb_sz = -sigma * gp / (jnp.sum(sd_new * sd_new)
-                                   + fwi.eps_stabilizer)
-            valid = ((it > it0) & (num > 0) & (gp < 0)
-                     & jnp.isfinite(bb_sz))
+            # branch (zero/invalid curvature history — incl. the cold
+            # start and post-watchdog reverts). The warm line-search
+            # carry is left unchanged on BB iterations (still a valid
+            # RHS-normalized previous solution).
+            bb_sz, valid = _bb_step_size(slow, slow_prev, grad, gprev,
+                                         sd_new, fwi.eps_stabilizer)
             if warm is None:
                 step_sz = jax.lax.cond(valid, lambda: bb_sz, _lin_step)
                 pert_carry = None
@@ -608,17 +613,10 @@ def _nonlinear_cg_3d_jit(state, data, grid, fwi, num_iterations,
 
         slow_next_prev = slow
         if guard:
-            # Watchdog: this iteration's loss (misfit at the CURRENT
-            # model) spiking past the baseline means the PREVIOUS update
-            # was a misstep — revert to the pre-misstep iterate, keep the
-            # pre-spike loss baseline, and flag a recurrence restart.
-            # With BB, the revert makes the next (dm, dg) zero, so the
-            # next step automatically takes the exact line search.
-            bad = loss > jnp.float32(fwi.reject_increase) * prev_loss
-            slow_new = jnp.where(bad, slow_prev, slow_new)
-            vel_new = jnp.where(bad, 1.0 / slow_prev, vel_new)
-            slow_next_prev = jnp.where(bad, slow_prev, slow)
-            prev_loss_new = jnp.where(bad, prev_loss, loss)
+            (bad, slow_new, vel_new, slow_next_prev,
+             prev_loss_new) = _watchdog_apply(
+                fwi.reject_increase, loss, prev_loss, slow, slow_prev,
+                slow_new, vel_new)
 
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)

@@ -96,6 +96,16 @@ def _multifreq_cg(vel_init, data: MultiFreqData, grid: Grid2D,
     """Core multi-frequency CG loop. ``data`` may hold device-local shards
     when run inside shard_map; every cross-(freq, shot) reduction goes
     through ``preduce``."""
+    if fwi.step_size == StepSizeFormula.BB:
+        raise ValueError(
+            "step_size=BB is not supported by the joint multi-frequency "
+            "CG loop (only the reference's three linearized formulas); "
+            "use nonlinear_cg per frequency or a continuation schedule")
+    if fwi.reject_increase is not None:
+        raise ValueError(
+            "reject_increase (the nonmonotone watchdog) is not wired into "
+            "the joint multi-frequency CG loop; unset it (the single-"
+            "frequency 2D and 3D loops support it)")
     vel0 = jnp.asarray(vel_init, jnp.float32)
     from .regularization import make_cg_regularizer
     regularize = make_cg_regularizer(grid, fwi)

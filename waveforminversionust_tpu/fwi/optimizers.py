@@ -118,6 +118,52 @@ def _step_size(formula: StepSizeFormula, drec, rec_obs, rec_sim, grad,
     raise ValueError(f"unknown step-size formula {formula}")
 
 
+def _bb_step_size(slow, slow_prev, grad, gprev, sd_new, eps):
+    """BB2 quadratic-model step alpha = -sigma <g,p>/<p,p> with
+    sigma = <dm,dg>/<dg,dg>, and its validity predicate (shared by the
+    2D and 3D CG loops; see config.StepSizeFormula.BB).
+
+    ``num > 0`` alone covers the cold start and the post-watchdog-revert
+    restart (both have dm = 0 -> num = 0 -> invalid -> line-search
+    fallback), so chunked runs keep using BB across chunk boundaries."""
+    dm = slow - slow_prev
+    dg = grad - gprev
+    num = jnp.sum(dm * dg)
+    sigma = num / (jnp.sum(dg * dg) + eps)
+    gp = jnp.sum(grad * sd_new)
+    bb_sz = -sigma * gp / (jnp.sum(sd_new * sd_new) + eps)
+    valid = (num > 0) & (gp < 0) & jnp.isfinite(bb_sz)
+    return bb_sz, valid
+
+
+def _watchdog_apply(ratio, loss, prev_loss, slow, slow_prev,
+                    slow_new, vel_new):
+    """Nonmonotone watchdog (FWIConfig.reject_increase), shared by the 2D
+    and 3D CG loops: this iteration's loss (misfit at the CURRENT model)
+    spiking past the baseline means the PREVIOUS update was a misstep —
+    revert to the pre-misstep iterate, keep the pre-spike loss baseline,
+    and flag a recurrence restart. With BB, the revert makes the next
+    (dm, dg) zero, so the next step automatically takes the exact line
+    search.
+
+    Returns (bad, slow_new, vel_new, slow_next_prev, prev_loss_new)."""
+    bad = loss > jnp.float32(ratio) * prev_loss
+    slow_new = jnp.where(bad, slow_prev, slow_new)
+    vel_new = jnp.where(bad, 1.0 / slow_prev, vel_new)
+    slow_next_prev = jnp.where(bad, slow_prev, slow)
+    prev_loss_new = jnp.where(bad, prev_loss, loss)
+    return bad, slow_new, vel_new, slow_next_prev, prev_loss_new
+
+
+def _validate_watchdog(fwi: FWIConfig):
+    if fwi.reject_increase is not None and not fwi.reject_increase > 1.0:
+        raise ValueError(
+            f"reject_increase must be > 1 (a loss-RATIO threshold); "
+            f"{fwi.reject_increase} would re-trigger forever after the "
+            f"first revert (loss == baseline at the restored model) and "
+            f"freeze the inversion at the initial iterate")
+
+
 def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
                  fwi: FWIConfig, mesh=None, grid_axis: str = "grid"):
     """Build the jittable body of one CG iteration.
@@ -174,6 +220,7 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
     # previous slowness (shared with BB), the loss baseline and a restart
     # flag; a loss spike reverts the model and restarts the recurrence.
     guard = fwi.reject_increase is not None
+    _validate_watchdog(fwi)
     xtra = frozen or bb or guard  # carry is a tuple; xs carries local idx
 
     def step(carry, xs):
@@ -303,22 +350,14 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
         # 22-32; slowness stays real throughout, matching the MATLAB
         # original's real() — FrequencyDomainFWI.m:173-174)
         if bb:
-            # Quadratic-model step with the BB2 inverse-curvature scalar:
-            # alpha = -sigma <g, p>/<p, p>, sigma = <dm, dg>/<dg, dg>.
-            # Falls back to the RESIDUAL line search (one extra solve,
-            # under lax.cond so it only RUNS on those iterations) on the
-            # first iteration of a scan/chunk and whenever the estimate
-            # is invalid (non-positive curvature, ascent direction,
-            # non-finite) — e.g. right after a rejected step where dm=0.
-            dm = slow - slow_prev
-            dg = grad - gprev
-            num = jnp.sum(dm * dg)
-            sigma = num / (jnp.sum(dg * dg) + fwi.eps_stabilizer)
-            gp = jnp.sum(grad * sd_new)
-            bb_sz = -sigma * gp / (jnp.sum(sd_new * sd_new)
-                                   + fwi.eps_stabilizer)
-            valid = ((local > 0) & (num > 0) & (gp < 0)
-                     & jnp.isfinite(bb_sz))
+            # BB2 quadratic-model step (_bb_step_size). Falls back to the
+            # RESIDUAL line search (one extra solve, under lax.cond so it
+            # only RUNS on those iterations) whenever the estimate is
+            # invalid (zero history, non-positive curvature, ascent
+            # direction, non-finite) — e.g. right after a rejected step
+            # or watchdog revert where dm=0.
+            bb_sz, valid = _bb_step_size(slow, slow_prev, grad, gprev,
+                                         sd_new, fwi.eps_stabilizer)
             step_sz = jax.lax.cond(valid, lambda: bb_sz, _linearized_step)
         else:
             step_sz = _linearized_step()
@@ -340,17 +379,10 @@ def make_cg_step(data: FWIData, grid: Grid2D, solver: SolverConfig,
 
         slow_next_prev = slow
         if guard:
-            # Watchdog: this iteration's loss (misfit at the CURRENT
-            # model) spiking past the baseline means the PREVIOUS update
-            # was a misstep — revert to the pre-misstep iterate, keep the
-            # pre-spike loss baseline, and flag a recurrence restart.
-            # With BB, the revert makes the next (dm, dg) zero, so the
-            # next step automatically takes the exact line search.
-            bad = loss > jnp.float32(fwi.reject_increase) * prev_loss
-            slow_new = jnp.where(bad, slow_prev, slow_new)
-            vel_new = jnp.where(bad, 1.0 / slow_prev, vel_new)
-            slow_next_prev = jnp.where(bad, slow_prev, slow)
-            prev_loss_new = jnp.where(bad, prev_loss, loss)
+            (bad, slow_new, vel_new, slow_next_prev,
+             prev_loss_new) = _watchdog_apply(
+                fwi.reject_increase, loss, prev_loss, slow, slow_prev,
+                slow_new, vel_new)
 
         metrics = CGMetrics(loss=loss, grad_norm=jnp.linalg.norm(grad),
                             beta=beta, step_size=step_sz)
